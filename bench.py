@@ -1,0 +1,130 @@
+"""Benchmark: MCMC walker throughput + full VMC train-step time on one chip.
+
+Prints ONE JSON line:
+  {"metric": "walker_steps_per_s_per_chip", "value": N, "unit": "walker-steps/s",
+   "vs_baseline": R, ...extras}
+
+Headline metric (BASELINE.json): Metropolis walker-steps/s/chip at N=6 —
+batch x equilibration-steps per wall-second for the Slater base-density
+sampler, the sampling hot loop of every training iteration (reference
+``src/base_dist.py:58-71``: 100 steps/iteration at batch 8000).
+
+vs_baseline: ratio against the reference implementation (torch, float64)
+measured on this machine's CPU for the identical workload (62,500
+walker-steps/s at N=6; the reference repo publishes no GPU numbers —
+BASELINE.md).  Extras report the full train-step time (sample + local energy
++ gradient + Adam) which has no reference counterpart measurable here
+(torchdiffeq is not installed and the reference's scipy path is
+host-sequential).
+
+Runs in float32 on TPU (no native f64); the float64 correctness gates live in
+tests/ on the CPU backend.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Reference torch-f64 CPU throughput for the identical sampler workload,
+# measured on this machine (see BASELINE.md provenance).
+REFERENCE_WALKER_STEPS_PER_S = 62_500.0
+
+NUP = 6
+BATCH = 8192
+MCMC_STEPS = 100
+
+
+def main():
+    import optax
+
+    from fermiflow_tpu import mcmc
+    from fermiflow_tpu.config import Config
+    from fermiflow_tpu.physics import HO2D, FreeFermion
+    from fermiflow_tpu.train import init_gs_state, make_gs_train_step
+    from __graft_entry__ import _build
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    dtype = jnp.float32 if on_tpu else jnp.float64
+
+    orb = HO2D()
+    bd = FreeFermion(orb)
+    occ = np.arange(NUP, dtype=np.int32)
+
+    @jax.jit
+    def run_mcmc(key, x0):
+        state = mcmc.metropolis(
+            lambda x: bd.log_prob(occ, (), x), key, x0, MCMC_STEPS, 0.1
+        )
+        return state.x, state.accept_rate
+
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, (BATCH, NUP, 2), dtype=dtype)
+    # Warmup/compile.  NOTE: value fetches (np.asarray), not
+    # block_until_ready — the latter does not reliably block on tunneled
+    # TPU platforms.
+    x, acc = run_mcmc(key, x0)
+    np.asarray(acc)
+
+    reps = 5
+    t0 = time.perf_counter()
+    for i in range(reps):
+        x, acc = run_mcmc(jax.random.fold_in(key, i), x)
+    np.asarray(acc)
+    dt = (time.perf_counter() - t0) / reps
+    walker_steps_per_s = BATCH * MCMC_STEPS / dt
+
+    # Full train step (sample + local energy + grad + Adam) timing.
+    cfg = Config(
+        nup=NUP,
+        Z=0.5,
+        batch=BATCH,
+        ode_steps=8,
+        equilibrium_steps=MCMC_STEPS,
+        laplacian_chunk=512,
+        lr=1e-3,  # stable training regime (1e-2 oscillates at N=6 f32)
+        dtype="float32" if on_tpu else "float64",
+    )
+    model, params = _build(
+        dtype, nup=NUP, ode_steps=cfg.ode_steps, laplacian_chunk=512
+    )
+    optimizer = optax.adam(cfg.lr)
+    state = init_gs_state(model, params, cfg, optimizer)
+    step_fn = make_gs_train_step(model, optimizer, cfg)
+    # Two warmup steps: the first compiles; the second absorbs the one-time
+    # donated-buffer layout recompile.
+    state, metrics = step_fn(state)
+    np.asarray(metrics["E"])
+    state, metrics = step_fn(state)
+    np.asarray(metrics["E"])
+    t0 = time.perf_counter()
+    reps2 = 3
+    for _ in range(reps2):
+        state, metrics = step_fn(state)
+        np.asarray(metrics["E"])
+    step_s = (time.perf_counter() - t0) / reps2
+
+    print(
+        json.dumps(
+            {
+                "metric": "walker_steps_per_s_per_chip",
+                "value": round(walker_steps_per_s, 1),
+                "unit": "walker-steps/s",
+                "vs_baseline": round(
+                    walker_steps_per_s / REFERENCE_WALKER_STEPS_PER_S, 2
+                ),
+                "config": f"N={NUP} batch={BATCH} mcmc_steps={MCMC_STEPS}",
+                "accept_rate": round(float(jnp.mean(acc)), 3),
+                "train_step_seconds": round(step_s, 4),
+                "train_hours_per_100_iters": round(step_s * 100 / 3600, 5),
+                "train_E": float(metrics["E"]),
+                "platform": jax.devices()[0].platform,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+"""Shared CLI plumbing: flag definitions and model builders.
+
+The reference duplicates its argparse block between the two drivers
+(``src/FermionHO2D.py:15-32``, ``src/BetaFermionHO2D.py:15-35``); here both
+CLIs share one flag set bound to the Config dataclass.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from fermiflow_tpu.config import Config
+from fermiflow_tpu.flow import CNF
+from fermiflow_tpu.nn import backflow_init_zeros
+from fermiflow_tpu.nn.backflow import backflow_apply, backflow_divergence
+from fermiflow_tpu.physics import (
+    HO2D,
+    CoulombPairPotential,
+    FreeFermion,
+    HOPotential,
+)
+from fermiflow_tpu.vmc import BetaVMC, GSVMC
+
+
+def add_flags(parser: argparse.ArgumentParser, finite_t: bool):
+    d = Config()
+    # Reference-compatible flags (src/FermionHO2D.py:18-30).
+    parser.add_argument("--nup", type=int, default=d.nup)
+    parser.add_argument("--ndown", type=int, default=d.ndown)
+    parser.add_argument("--Z", type=float, default=d.Z)
+    parser.add_argument("--Deta", type=int, default=d.d_eta)
+    parser.add_argument("--nomu", action="store_true")
+    parser.add_argument("--Dmu", type=int, default=d.d_mu)
+    parser.add_argument("--t0", type=float, default=d.t0)
+    parser.add_argument("--t1", type=float, default=d.t1)
+    parser.add_argument("--iternum", type=int, default=d.iternum)
+    parser.add_argument("--batch", type=int, default=d.batch)
+    if finite_t:
+        parser.add_argument("--beta", type=float, default=d.beta)
+        parser.add_argument("--deltaE", type=float, default=d.deltaE)
+        parser.add_argument("--boltzmann", action="store_true")
+    # TPU-native extensions.
+    parser.add_argument("--lr", type=float, default=d.lr)
+    parser.add_argument("--ode-steps", type=int, default=d.ode_steps)
+    parser.add_argument("--ode-method", type=str, default=d.ode_method)
+    parser.add_argument("--dtype", type=str, default=d.dtype,
+                        choices=["float64", "float32", "bfloat16"])
+    parser.add_argument("--seed", type=int, default=d.seed)
+    parser.add_argument("--equilibrium-steps", type=int,
+                        default=d.equilibrium_steps)
+    parser.add_argument("--mcmc-steps", type=int, default=d.mcmc_steps)
+    parser.add_argument("--tau", type=float, default=d.tau)
+    parser.add_argument("--persistent", action="store_true",
+                        help="persistent walkers + per-walker tau adaptation")
+    parser.add_argument("--shard", action="store_true",
+                        help="shard walkers over all visible devices")
+    parser.add_argument("--checkpoint-dir", type=str, default=None)
+    parser.add_argument("--checkpoint-every", type=int, default=d.checkpoint_every)
+    parser.add_argument("--metrics", type=str, default=None,
+                        help="jsonl metrics output path")
+
+
+def config_from_args(args, finite_t: bool) -> Config:
+    cfg = Config(
+        nup=args.nup,
+        ndown=args.ndown,
+        Z=args.Z,
+        d_eta=args.Deta,
+        d_mu=None if args.nomu else args.Dmu,
+        t0=args.t0,
+        t1=args.t1,
+        iternum=args.iternum,
+        batch=args.batch,
+        lr=args.lr,
+        ode_steps=args.ode_steps,
+        ode_method=args.ode_method,
+        dtype=args.dtype,
+        seed=args.seed,
+        equilibrium_steps=args.equilibrium_steps,
+        mcmc_steps=args.mcmc_steps,
+        tau=args.tau,
+        persistent_walkers=args.persistent,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
+        metrics_path=args.metrics,
+    )
+    if finite_t:
+        cfg.beta = args.beta
+        cfg.deltaE = args.deltaE
+        cfg.boltzmann = args.boltzmann
+    return cfg
+
+
+def setup_precision(cfg: Config):
+    if cfg.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+
+def make_cnf(cfg: Config) -> CNF:
+    return CNF(
+        velocity=backflow_apply,
+        divergence=backflow_divergence,
+        t0=cfg.t0,
+        t1=cfg.t1,
+        steps=cfg.ode_steps,
+        method=cfg.ode_method,
+        solver=cfg.ode_solver,
+        rtol=cfg.rtol,
+        atol=cfg.atol,
+    )
+
+
+def build_gs(cfg: Config):
+    orbitals = HO2D()
+    basedist = FreeFermion(orbitals)
+    model = GSVMC(
+        cfg.nup,
+        cfg.ndown,
+        basedist,
+        make_cnf(cfg),
+        CoulombPairPotential(cfg.Z),
+        HOPotential(),
+        laplacian_chunk=cfg.laplacian_chunk,
+    )
+    params = backflow_init_zeros(cfg.d_eta, cfg.d_mu, dtype=cfg.jnp_dtype())
+    return model, params
+
+
+def build_beta(cfg: Config):
+    orbitals = HO2D()
+    basedist = FreeFermion(orbitals)
+    model = BetaVMC(
+        cfg.beta,
+        cfg.nup,
+        cfg.ndown,
+        cfg.deltaE,
+        orbitals,
+        basedist,
+        make_cnf(cfg),
+        CoulombPairPotential(cfg.Z),
+        HOPotential(),
+        laplacian_chunk=cfg.laplacian_chunk,
+    )
+    dtype = cfg.jnp_dtype()
+    params = {
+        "flow": backflow_init_zeros(cfg.d_eta, cfg.d_mu, dtype=dtype),
+        "log_state_weights": model.init_log_state_weights(
+            cfg.boltzmann,
+            key=None if cfg.boltzmann else jax.random.PRNGKey(cfg.seed + 7),
+            dtype=dtype,
+        ),
+    }
+    return model, params

@@ -1,0 +1,69 @@
+"""Ground-state VMC training driver.
+
+Capability parity with ``src/FermionHO2D.py``: same physics flags and
+defaults, same printed observables (E, E_std, hours-per-100-iters), plus the
+TPU-native extensions (sharding, persistent walkers, checkpoints, jsonl
+metrics).
+
+    python -m fermiflow_tpu.cli.ground_state --nup 6 --Z 0.5 --batch 8000
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import optax
+
+from fermiflow_tpu.cli import common
+from fermiflow_tpu.parallel import make_walker_mesh, shard_walkers
+from fermiflow_tpu.train import init_gs_state, make_gs_train_step
+from fermiflow_tpu.utils import MetricsLogger, restore_checkpoint, save_checkpoint
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Ground-state variational Monte Carlo (TPU-native)"
+    )
+    common.add_flags(parser, finite_t=False)
+    args = parser.parse_args(argv)
+    cfg = common.config_from_args(args, finite_t=False)
+    common.setup_precision(cfg)
+
+    model, params = common.build_gs(cfg)
+    optimizer = optax.adam(cfg.lr)
+    mesh = make_walker_mesh() if args.shard else None
+
+    state = init_gs_state(model, params, cfg, optimizer)
+    start_step = 0
+    if cfg.checkpoint_dir:
+        state, start_step = restore_checkpoint(cfg.checkpoint_dir, state)
+    if mesh is not None:
+        state = state._replace(
+            walkers=shard_walkers(mesh, state.walkers),
+            tau=shard_walkers(mesh, state.tau),
+        )
+
+    step_fn = make_gs_train_step(model, optimizer, cfg, mesh=mesh)
+    logger = MetricsLogger(cfg.metrics_path)
+
+    print(f"nup = {cfg.nup}, ndown = {cfg.ndown}, Z = {cfg.Z:.1f}")
+    print(f"batch = {cfg.batch}, iternum = {cfg.iternum}.")
+
+    for i in range(start_step + 1, cfg.iternum + 1):
+        state, metrics = step_fn(state)
+        rec = logger.log(i, metrics)
+        print(
+            f"iter: {i:03d} E: {rec['E']} E_std: {rec['E_std']} "
+            f"accept: {rec['accept_rate']:.3f} "
+            f"Instant speed (hours per 100 iters): "
+            f"{rec.get('hours_per_100_iters', float('nan'))}"
+        )
+        if cfg.checkpoint_dir and i % cfg.checkpoint_every == 0:
+            save_checkpoint(cfg.checkpoint_dir, i, state)
+
+    logger.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()

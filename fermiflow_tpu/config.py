@@ -1,0 +1,72 @@
+"""Single experiment configuration dataclass.
+
+The reference scatters hyperparameters across two near-duplicate argparse
+blocks and hardcoded constants (SURVEY.md §5: Adam lr at
+``src/FermionHO2D.py:61``, MCMC constants at ``src/base_dist.py:59``, ODE
+tolerances at ``src/NeuralODE/nnModule.py:162``, MLP init std at
+``src/MLP.py:25``).  Here every knob lives in one serializable dataclass,
+shared by both CLIs, the benchmark, and the checkpoints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+
+@dataclasses.dataclass
+class Config:
+    # physics / model
+    nup: int = 6
+    ndown: int = 0
+    Z: float = 0.5  # Coulomb coupling strength
+    beta: float = 2.0  # inverse temperature (finite-T only)
+    deltaE: float = 2.0  # excitation-energy cutoff (finite-T only)
+    boltzmann: bool = False  # Boltzmann init of state logits (finite-T only)
+
+    # flow network
+    d_eta: int = 50  # hidden size of the two-body MLP (reference --Deta)
+    d_mu: int | None = 50  # hidden size of the one-body MLP; None = --nomu
+    t0: float = 0.0
+    t1: float = 1.0
+
+    # ODE solver
+    ode_steps: int = 16
+    ode_method: str = "dopri5"
+    ode_solver: str = "fixed"  # generate path: fixed | adaptive | adjoint
+    rtol: float = 1e-6
+    atol: float = 1e-8
+
+    # sampler
+    batch: int = 8000
+    equilibrium_steps: int = 100  # reference-compat re-equilibration length
+    mcmc_steps: int = 30  # steps per iteration with persistent walkers
+    tau: float = 0.1
+    persistent_walkers: bool = False  # carry chains + per-walker tau adaptation
+    tau_target_accept: float = 0.5
+    tau_gain: float = 0.1
+
+    # optimization
+    lr: float = 1e-2
+    iternum: int = 1000
+
+    # numerics / runtime
+    laplacian_chunk: int | None = None  # batch chunk for the Laplacian engine
+    dtype: str = "float64"  # float64 | float32 | bfloat16
+    seed: int = 42
+    checkpoint_every: int = 100
+    checkpoint_dir: str | None = None
+    metrics_path: str | None = None
+
+    def jnp_dtype(self):
+        import jax.numpy as jnp
+
+        return {"float64": jnp.float64, "float32": jnp.float32,
+                "bfloat16": jnp.bfloat16}[self.dtype]
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        return cls(**json.loads(s))

@@ -1,0 +1,202 @@
+"""Jitted end-to-end training steps for ground-state and finite-T VMC.
+
+Capability parity with the reference CLI loops (``src/FermionHO2D.py:66-72``,
+``src/BetaFermionHO2D.py:72-79``: sample -> loss -> backward -> Adam), as ONE
+compiled function per iteration:
+
+  * sampling (Metropolis scan + forward flow), local energy (batched
+    forward-over-reverse Laplacian), the REINFORCE surrogate gradient, and the
+    optax Adam update all live inside a single ``jax.jit`` — no host
+    round-trips inside an iteration (the reference syncs on every ``.item()``
+    and every Python-loop MCMC step).
+  * with a mesh, walker arrays carry ``P("walkers")`` sharding constraints and
+    XLA inserts the cross-chip reductions (means/stds/baselines) — the same
+    step function runs on 1 chip or a pod slice.
+  * persistent-walker mode (north-star requirement, absent in the reference):
+    chains and per-walker step sizes live in the train state; each iteration
+    continues the chains for ``mcmc_steps`` and adapts tau toward the target
+    acceptance rate, instead of re-equilibrating 100 fixed-tau steps from
+    scratch (kept as the compatibility default).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fermiflow_tpu import mcmc
+from fermiflow_tpu.config import Config
+from fermiflow_tpu.parallel.mesh import walker_sharding
+from fermiflow_tpu.vmc.beta import BetaVMC
+from fermiflow_tpu.vmc.gs import GSVMC
+
+__all__ = ["TrainState", "make_gs_train_step", "make_beta_train_step",
+           "init_gs_state", "init_beta_state"]
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    key: jax.Array
+    step: jax.Array
+    walkers: jax.Array  # (batch, n, dim) persistent base-dist chain positions
+    tau: jax.Array  # (batch,) per-walker proposal scales
+
+
+def _constrain(tree, sharding):
+    if sharding is None:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.with_sharding_constraint(x, sharding), tree
+    )
+
+
+def init_gs_state(model: GSVMC, params, cfg: Config, optimizer) -> TrainState:
+    dtype = cfg.jnp_dtype()
+    key = jax.random.PRNGKey(cfg.seed)
+    walkers = jax.random.normal(
+        jax.random.fold_in(key, 1), (cfg.batch, model.n, model.basedist.dim),
+        dtype=dtype,
+    )
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        key=key,
+        step=jnp.zeros((), jnp.int32),
+        walkers=walkers,
+        tau=jnp.full((cfg.batch,), cfg.tau, dtype=dtype),
+    )
+
+
+def make_gs_train_step(model: GSVMC, optimizer, cfg: Config, mesh=None):
+    """Returns a jitted (TrainState) -> (TrainState, metrics) function."""
+    wshard = walker_sharding(mesh) if mesh is not None else None
+    dtype = cfg.jnp_dtype()
+
+    base_logp = lambda z: model.basedist.log_prob(model.occ_up, model.occ_down, z)
+
+    def step_fn(state: TrainState):
+        key, k_init, k_mcmc = jax.random.split(state.key, 3)
+
+        if cfg.persistent_walkers:
+            z0 = state.walkers
+            n_steps, tau = cfg.mcmc_steps, state.tau
+        else:
+            z0 = jax.random.normal(
+                k_init, state.walkers.shape, dtype=dtype
+            )
+            n_steps, tau = cfg.equilibrium_steps, jnp.asarray(cfg.tau, dtype)
+
+        z0 = _constrain(z0, wshard)
+        ms = mcmc.metropolis(base_logp, k_mcmc, z0, n_steps, tau)
+        z = _constrain(ms.x, wshard)
+        x = model.cnf.generate(state.params, z)
+        x = jax.lax.stop_gradient(_constrain(x, wshard))
+
+        (loss, metrics), grads = jax.value_and_grad(
+            model.loss_and_metrics, has_aux=True
+        )(state.params, x)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        new_tau = (
+            mcmc.adapt_tau(ms, cfg.tau_target_accept, cfg.tau_gain)
+            if cfg.persistent_walkers
+            else state.tau
+        )
+        metrics = dict(metrics, accept_rate=jnp.mean(ms.accept_rate), loss=loss)
+        return (
+            TrainState(
+                params=params,
+                opt_state=opt_state,
+                key=key,
+                step=state.step + 1,
+                walkers=z,
+                tau=jnp.broadcast_to(new_tau, state.tau.shape).astype(dtype),
+            ),
+            metrics,
+        )
+
+    return jax.jit(step_fn, donate_argnums=0)
+
+
+def init_beta_state(model: BetaVMC, params, cfg: Config, optimizer) -> TrainState:
+    dtype = cfg.jnp_dtype()
+    key = jax.random.PRNGKey(cfg.seed)
+    walkers = jax.random.normal(
+        jax.random.fold_in(key, 1), (cfg.batch, model.n, model.basedist.dim),
+        dtype=dtype,
+    )
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        key=key,
+        step=jnp.zeros((), jnp.int32),
+        walkers=walkers,
+        tau=jnp.full((cfg.batch,), cfg.tau, dtype=dtype),
+    )
+
+
+def make_beta_train_step(model: BetaVMC, optimizer, cfg: Config, mesh=None):
+    """Finite-T analog of ``make_gs_train_step``; the Categorical state draw,
+    mixed-state Metropolis, flow, both surrogate losses, and Adam run in one
+    jit."""
+    wshard = walker_sharding(mesh) if mesh is not None else None
+    dtype = cfg.jnp_dtype()
+    occ_table = jnp.asarray(model.occ_table)
+
+    def step_fn(state: TrainState):
+        key, k_state, k_init, k_mcmc = jax.random.split(state.key, 4)
+
+        logits = jax.lax.stop_gradient(state.params["log_state_weights"])
+        state_idx = jax.random.categorical(k_state, logits, shape=(cfg.batch,))
+        state_idx = _constrain(state_idx, wshard)
+
+        if cfg.persistent_walkers:
+            # Chains continue from the previous mixture — far closer to the
+            # new per-walker targets than fresh noise.
+            z0, n_steps, tau = state.walkers, cfg.mcmc_steps, state.tau
+        else:
+            z0 = jax.random.normal(k_init, state.walkers.shape, dtype=dtype)
+            n_steps, tau = cfg.equilibrium_steps, jnp.asarray(cfg.tau, dtype)
+
+        z0 = _constrain(z0, wshard)
+        ms = mcmc.metropolis(
+            lambda z: model.basedist.log_prob_multstates(occ_table, state_idx, z),
+            k_mcmc,
+            z0,
+            n_steps,
+            tau,
+        )
+        z = _constrain(ms.x, wshard)
+        x = model.cnf.generate(state.params["flow"], z)
+        x = jax.lax.stop_gradient(_constrain(x, wshard))
+
+        (loss, metrics), grads = jax.value_and_grad(
+            model.loss_and_metrics, has_aux=True
+        )(state.params, state_idx, x)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        new_tau = (
+            mcmc.adapt_tau(ms, cfg.tau_target_accept, cfg.tau_gain)
+            if cfg.persistent_walkers
+            else state.tau
+        )
+        metrics = dict(metrics, accept_rate=jnp.mean(ms.accept_rate), loss=loss)
+        return (
+            TrainState(
+                params=params,
+                opt_state=opt_state,
+                key=key,
+                step=state.step + 1,
+                walkers=z,
+                tau=jnp.broadcast_to(new_tau, state.tau.shape).astype(dtype),
+            ),
+            metrics,
+        )
+
+    return jax.jit(step_fn, donate_argnums=0)

@@ -1,0 +1,183 @@
+"""Finite-temperature variational Monte Carlo (variational density matrix).
+
+Capability parity with reference ``BetaVMC`` (``src/VMC.py:61-171``): a
+learnable Categorical over the truncated many-body Slater basis (the discrete
+occupation model), composed with the shared flow.  Estimators:
+
+    Floc = Eloc + logp_states / beta
+    S    = -mean(logp_states)            (MC entropy)
+    S_an = -sum(p log p)                 (von Neumann, analytic)
+
+Two score-function surrogate losses over DISJOINT parameter groups
+(reference ``src/VMC.py:162-169``):
+
+    loss_phi   = mean[logp_states · (Floc - F̄)]        (occupation logits)
+    loss_theta = mean[logp_full · (Eloc - Ē_state)]     (flow params)
+
+with Ē_state the PER-STATE mean baseline.  The reference computes that
+baseline with a host-side Python loop over a Counter of contiguous state
+groups (``src/VMC.py:164-169``) and samples grouped batches through a
+ragged-segment determinant primitive; here every walker carries a dense state
+index, the baseline is a ``segment_sum`` scatter-add, and the determinants are
+one identically-shaped batched computation — no host loops, walker-shardable.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fermiflow_tpu.flow.cnf import CNF
+from fermiflow_tpu.physics.base_dist import FreeFermion
+from fermiflow_tpu.physics.orbitals import HO2D
+from fermiflow_tpu.vmc.local_energy import y_grad_laplacian
+
+__all__ = ["BetaVMC"]
+
+
+class BetaVMC:
+    """Finite-T VMC model.
+
+    Parameters pytree: ``{"flow": flow_params, "log_state_weights": (Nstates,)}``.
+    """
+
+    def __init__(
+        self,
+        beta: float,
+        nup: int,
+        ndown: int,
+        deltaE: float,
+        orbitals: HO2D,
+        basedist: FreeFermion,
+        cnf: CNF,
+        pair_potential: Callable,
+        sp_potential: Callable | None = None,
+        laplacian_chunk: int | None = None,
+    ):
+        self.beta = beta
+        self.laplacian_chunk = laplacian_chunk
+        self.nup, self.ndown = nup, ndown
+        self.n = nup + ndown
+        occ, Es = orbitals.fermion_states(nup, ndown, deltaE)
+        self.occ_table = occ  # (Nstates, nup) numpy int32
+        self.Es_original = Es  # (Nstates,) numpy float64
+        self.Nstates = occ.shape[0]
+        self.basedist = basedist
+        self.cnf = cnf
+        self.pair_potential = pair_potential
+        self.sp_potential = sp_potential
+
+    def init_log_state_weights(
+        self, boltzmann: bool, key: jax.Array | None = None, dtype=jnp.float64
+    ) -> jax.Array:
+        """Boltzmann init -beta (E_s - E_0) or standard Gaussian
+        (reference ``src/VMC.py:78-81``)."""
+        if boltzmann:
+            return jnp.asarray(
+                -self.beta * (self.Es_original - self.Es_original[0]), dtype=dtype
+            )
+        if key is None:
+            raise ValueError("random init requires a PRNG key")
+        return jax.random.normal(key, (self.Nstates,), dtype=dtype)
+
+    # -- sampling --
+
+    def sample(
+        self,
+        params,
+        key: jax.Array,
+        batch: int,
+        equilibrium_steps: int = 100,
+        tau: float = 0.1,
+        dtype=jnp.float64,
+    ):
+        """Draw (state_idx, z, x): state from the Categorical, z from that
+        state's Slater density, x through the flow."""
+        k_state, k_base = jax.random.split(key)
+        logits = params["log_state_weights"]
+        state_idx = jax.random.categorical(k_state, logits, shape=(batch,))
+        occ_table = jnp.asarray(self.occ_table)
+        z = self.basedist.sample_multstates(
+            occ_table,
+            state_idx,
+            k_base,
+            equilibrium_steps=equilibrium_steps,
+            tau=tau,
+            dtype=dtype,
+        )
+        x = self.cnf.generate(params["flow"], z)
+        return state_idx, z, x
+
+    # -- likelihood --
+
+    def log_prob(self, flow_params, x: jax.Array, state_idx: jax.Array) -> jax.Array:
+        """Conditional log p_θ(x | state); unbatched or batched alike."""
+        z, delta_logp = self.cnf.delta_logp(flow_params, x)
+        occ_table = jnp.asarray(self.occ_table)
+        return (
+            self.basedist.log_prob_multstates(occ_table, state_idx, z) - delta_logp
+        )
+
+    def potential(self, x: jax.Array) -> jax.Array:
+        pot = self.pair_potential(x)
+        if self.sp_potential is not None:
+            pot = pot + self.sp_potential(x)
+        return pot
+
+    # -- loss & estimators --
+
+    def loss_and_metrics(self, params, state_idx: jax.Array, x: jax.Array):
+        """Combined surrogate loss (phi + theta terms act on disjoint params)
+        and the full metric set (E, F, S, S_analytical + stds)."""
+        flow_params = params["flow"]
+        logits = params["log_state_weights"]
+
+        # Local energy under fully stopped parameters (see GSVMC.loss_and_
+        # metrics: keeps the outer grad from transposing the Hessian engine).
+        flow_sg = jax.lax.stop_gradient(flow_params)
+        _, grad_logp, lap_logp = y_grad_laplacian(
+            lambda xs, idx: self.log_prob(flow_sg, xs, idx), x, state_idx,
+            chunk_size=self.laplacian_chunk,
+        )
+        kinetic = -0.25 * lap_logp - 0.125 * jnp.sum(grad_logp**2, axis=(-2, -1))
+        eloc = jax.lax.stop_gradient(kinetic + self.potential(x))
+        # Differentiable conditional log-likelihood for the theta loss.
+        logp = self.log_prob(flow_params, x, state_idx)
+
+        logp_states_all = jax.nn.log_softmax(logits)
+        logp_states = logp_states_all[state_idx]
+        logp_states_sg = jax.lax.stop_gradient(logp_states)
+
+        floc = eloc + logp_states_sg / self.beta
+        E, E_std = jnp.mean(eloc), jnp.std(eloc)
+        F, F_std = jnp.mean(floc), jnp.std(floc)
+        S = -jnp.mean(logp_states_sg)
+        S_analytical = -jnp.sum(
+            jax.lax.stop_gradient(logp_states_all * jnp.exp(logp_states_all))
+        )
+
+        # phi loss: free-energy REINFORCE on the occupation logits.
+        loss_phi = jnp.mean(logp_states * (floc - F))
+
+        # theta loss: per-state-mean baseline via segment reduction
+        # (replaces the Counter loop at src/VMC.py:164-169).
+        ones = jnp.ones_like(eloc)
+        counts = jax.ops.segment_sum(ones, state_idx, num_segments=self.Nstates)
+        sums = jax.ops.segment_sum(eloc, state_idx, num_segments=self.Nstates)
+        mean_per_state = sums / jnp.maximum(counts, 1.0)
+        eloc_baseline = mean_per_state[state_idx]
+        loss_theta = jnp.mean(logp * (eloc - eloc_baseline))
+
+        loss = loss_phi + loss_theta
+        metrics = {
+            "E": E,
+            "E_std": E_std,
+            "F": F,
+            "F_std": F_std,
+            "S": S,
+            "S_analytical": S_analytical,
+        }
+        return loss, metrics

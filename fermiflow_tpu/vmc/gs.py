@@ -1,0 +1,124 @@
+"""Ground-state variational Monte Carlo estimator.
+
+Capability parity with reference ``GSVMC`` (``src/VMC.py:4-59``): sample the
+flow-transformed Slater ground state, estimate the local energy
+
+    Eloc = -1/4 ∇²logp - 1/8 |∇logp|² + V(x)      (logp = 2 log|psi|)
+
+and return the REINFORCE score-function surrogate whose gradient is the VMC
+energy gradient:  loss = mean[(Eloc - Ē) · logp_θ(x)]  with Eloc detached
+(reference ``src/VMC.py:40-58``).
+
+TPU-native differences: pure functions over a params pytree; sampling through
+the scan Metropolis kernel + forward flow (samples carry no gradients); one
+shared computation produces (logp, ∇logp, ∇²logp) — the reference integrates
+the reverse ODE twice (once for logp_full, once inside y_grad_laplacian);
+metrics are returned, not stored as module attributes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fermiflow_tpu.flow.cnf import CNF
+from fermiflow_tpu.physics.base_dist import FreeFermion
+from fermiflow_tpu.vmc.local_energy import y_grad_laplacian
+
+__all__ = ["GSVMC"]
+
+
+class GSVMC:
+    """Ground-state VMC model (static config; all methods pure)."""
+
+    def __init__(
+        self,
+        nup: int,
+        ndown: int,
+        basedist: FreeFermion,
+        cnf: CNF,
+        pair_potential: Callable,
+        sp_potential: Callable | None = None,
+        laplacian_chunk: int | None = None,
+    ):
+        self.nup, self.ndown = nup, ndown
+        # Batch chunk for the Laplacian engine (memory bound, see
+        # local_energy.y_grad_laplacian).
+        self.laplacian_chunk = laplacian_chunk
+        self.n = nup + ndown
+        # Ground state occupies the lowest orbitals of each spin sector
+        # (reference src/VMC.py:23-24).
+        self.occ_up = np.arange(nup, dtype=np.int32)
+        self.occ_down = np.arange(ndown, dtype=np.int32)
+        self.basedist = basedist
+        self.cnf = cnf
+        self.pair_potential = pair_potential
+        self.sp_potential = sp_potential
+
+    # -- sampling: z ~ |base|², x = flow(z); x then follows |psi_θ|² exactly --
+
+    def sample(
+        self,
+        params,
+        key: jax.Array,
+        batch: int,
+        equilibrium_steps: int = 100,
+        tau: float = 0.1,
+        dtype=jnp.float64,
+    ):
+        z = self.basedist.sample(
+            self.occ_up,
+            self.occ_down,
+            key,
+            (batch,),
+            equilibrium_steps=equilibrium_steps,
+            tau=tau,
+            dtype=dtype,
+        )
+        x = self.cnf.generate(params, z)
+        return z, x
+
+    # -- likelihood --
+
+    def log_prob(self, params, x: jax.Array) -> jax.Array:
+        """log p_θ(x) via reverse flow; works on any batch shape (incl. none)."""
+        z, delta_logp = self.cnf.delta_logp(params, x)
+        return self.basedist.log_prob(self.occ_up, self.occ_down, z) - delta_logp
+
+    # -- local energy & loss --
+
+    def potential(self, x: jax.Array) -> jax.Array:
+        pot = self.pair_potential(x)
+        if self.sp_potential is not None:
+            pot = pot + self.sp_potential(x)
+        return pot
+
+    def local_energy(self, params, x: jax.Array):
+        """Per-walker local energies and the differentiable logp (batch,)."""
+        logp, grad_logp, lap_logp = y_grad_laplacian(
+            lambda xs: self.log_prob(params, xs), x,
+            chunk_size=self.laplacian_chunk,
+        )
+        kinetic = -0.25 * lap_logp - 0.125 * jnp.sum(grad_logp**2, axis=(-2, -1))
+        eloc = kinetic + self.potential(x)
+        return eloc, logp
+
+    def loss_and_metrics(self, params, x: jax.Array):
+        """REINFORCE surrogate loss and energy metrics for a walker batch.
+
+        The local energy is evaluated with fully stopped parameters so the
+        outer parameter gradient never transposes through the (chunked)
+        Hessian machinery — only the cheap batched ``log_prob`` below carries
+        parameter gradients.  Its primal duplicates the reverse-ODE solve
+        already inside ``local_energy``; XLA CSE merges them under jit.
+        """
+        eloc, _ = self.local_energy(jax.lax.stop_gradient(params), x)
+        eloc = jax.lax.stop_gradient(eloc)
+        logp = self.log_prob(params, x)
+        E = jnp.mean(eloc)
+        E_std = jnp.std(eloc)
+        loss = jnp.mean((eloc - E) * logp)
+        return loss, {"E": E, "E_std": E_std}
