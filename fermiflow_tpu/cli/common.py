@@ -60,6 +60,11 @@ def add_flags(parser: argparse.ArgumentParser, finite_t: bool):
     parser.add_argument("--checkpoint-every", type=int, default=d.checkpoint_every)
     parser.add_argument("--metrics", type=str, default=None,
                         help="jsonl metrics output path")
+    parser.add_argument("--movie", type=str, default=None,
+                        help="after training, dump density-movie trajectory "
+                             "frames (.npy) to this path")
+    parser.add_argument("--movie-frames", type=int, default=50)
+    parser.add_argument("--movie-walkers", type=int, default=2000)
 
 
 def config_from_args(args, finite_t: bool) -> Config:
@@ -96,6 +101,15 @@ def config_from_args(args, finite_t: bool) -> Config:
 def setup_precision(cfg: Config):
     if cfg.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
+        if jax.default_backend() == "tpu":
+            # TPU has no native f64 (LU/slogdet reject it); run the f64
+            # request on the host CPU backend instead of crashing.
+            cpus = jax.devices("cpu")
+            jax.config.update("jax_default_device", cpus[0])
+            print(
+                "NOTE: float64 requested on a TPU backend — falling back to "
+                "CPU devices (use --dtype float32 for the TPU chip)."
+            )
 
 
 def make_cnf(cfg: Config) -> CNF:
@@ -153,3 +167,36 @@ def build_beta(cfg: Config):
         ),
     }
     return model, params
+
+
+def dump_density_movie(path, model, flow_params, key, nframes, nwalkers,
+                       cfg: Config, state_logits=None):
+    """Save generative-flow trajectory frames for density movies.
+
+    Capability of the reference's ``nframes`` path (``src/flow.py:46-48``,
+    ``src/VMC.py:89-105``, used to render README's density2D.gif): frames of
+    shape (nframes, nwalkers, n, dim) saved as .npy.
+    """
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    dtype = cfg.jnp_dtype()
+    k_state, k_base = jax.random.split(key)
+    if state_logits is not None:
+        state_idx = jax.random.categorical(
+            k_state, state_logits, shape=(nwalkers,)
+        )
+        occ_table = jnp.asarray(model.occ_table)
+        z = model.basedist.sample_multstates(
+            occ_table, state_idx, k_base,
+            equilibrium_steps=cfg.equilibrium_steps, tau=cfg.tau, dtype=dtype,
+        )
+    else:
+        z = model.basedist.sample(
+            model.occ_up, model.occ_down, k_base, (nwalkers,),
+            equilibrium_steps=cfg.equilibrium_steps, tau=cfg.tau, dtype=dtype,
+        )
+    frames = model.cnf.generate_trajectory(flow_params, z, nframes)
+    np.save(path, np.asarray(frames))
+    print(f"density movie: saved {nframes} frames x {nwalkers} walkers to {path}")

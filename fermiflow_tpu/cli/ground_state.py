@@ -61,6 +61,15 @@ def main(argv=None):
         if cfg.checkpoint_dir and i % cfg.checkpoint_every == 0:
             save_checkpoint(cfg.checkpoint_dir, i, state)
 
+    if args.movie:
+        import jax
+
+        common.dump_density_movie(
+            args.movie, model, state.params,
+            jax.random.fold_in(state.key, 999),
+            args.movie_frames, args.movie_walkers, cfg,
+        )
+
     logger.close()
     return state
 

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fermiflow_tpu.ops.logdet import logabsdet
 from fermiflow_tpu.physics.orbitals import HO2D, hermite_functions
 
 __all__ = [
@@ -64,8 +65,10 @@ def log_abs_slater_det(orbitals: HO2D, occ, x: jax.Array) -> jax.Array:
     (``src/slater.py:4-74``).  Shape: x (..., n, dim) -> (...,).
     """
     D = slater_matrix(orbitals, occ, x)
-    _, logabsdet = jnp.linalg.slogdet(D)
-    return logabsdet
+    # Unrolled Gaussian elimination, not jnp.linalg.slogdet: the LU custom
+    # call dominates the whole training step at this tiny-n/huge-batch shape
+    # (see fermiflow_tpu/ops/logdet.py).
+    return logabsdet(D)
 
 
 def slater_matrix_multstates(
@@ -122,5 +125,4 @@ def log_abs_slater_det_multstates(
 ) -> jax.Array:
     """log|det D| per walker for per-walker states -> (batch,)."""
     D = slater_matrix_multstates(orbitals, occ_table, state_idx, x)
-    _, logabsdet = jnp.linalg.slogdet(D)
-    return logabsdet
+    return logabsdet(D)
