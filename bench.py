@@ -53,27 +53,51 @@ def main():
     bd = FreeFermion(orb)
     occ = np.arange(NUP, dtype=np.int32)
 
-    @jax.jit
-    def run_mcmc(key, x0):
-        state = mcmc.metropolis(
-            lambda x: bd.log_prob(occ, (), x), key, x0, MCMC_STEPS, 0.1
-        )
-        return state.x, state.accept_rate
+    if on_tpu:
+        # Production sampler: fused Pallas Metropolis kernel.
+        from fermiflow_tpu.ops.pallas_metropolis import metropolis_free_fermion
+
+        nx_occ = tuple(int(v) for v in orb.nx[occ])
+        ny_occ = tuple(int(v) for v in orb.ny[occ])
+
+        def run_mcmc(key, x0):
+            seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+            x, _, acc = metropolis_free_fermion(
+                x0, seed, 0.1, MCMC_STEPS, nx_occ, ny_occ
+            )
+            return x, acc
+    else:
+        def run_mcmc(key, x0):
+            state = mcmc.metropolis(
+                lambda x: bd.log_prob(occ, (), x), key, x0, MCMC_STEPS, 0.1
+            )
+            return state.x, state.accept_rate
 
     key = jax.random.PRNGKey(0)
     x0 = jax.random.normal(key, (BATCH, NUP, 2), dtype=dtype)
-    # Warmup/compile.  NOTE: value fetches (np.asarray), not
-    # block_until_ready — the latter does not reliably block on tunneled
-    # TPU platforms.
-    x, acc = run_mcmc(key, x0)
-    np.asarray(acc)
 
-    reps = 5
+    # Timing protocol: run REPS chained chains inside ONE jitted program and
+    # fetch a value at the end.  Per-dispatch tunnel latency on remote TPU
+    # platforms is O(100 ms) and block_until_ready does not reliably block,
+    # so per-call wall timing of eager dispatches is meaningless.
+    REPS = 10
+
+    @jax.jit
+    def run_epochs(key, x0):
+        def body(i, carry):
+            x, _ = carry
+            return run_mcmc(jax.random.fold_in(key, i), x)
+
+        return jax.lax.fori_loop(
+            0, REPS, body, (x0, jnp.zeros((BATCH,), dtype))
+        )
+
+    x, acc = run_epochs(key, x0)
+    np.asarray(acc)  # compile + warmup
     t0 = time.perf_counter()
-    for i in range(reps):
-        x, acc = run_mcmc(jax.random.fold_in(key, i), x)
+    x, acc = run_epochs(jax.random.fold_in(key, 123), x)
     np.asarray(acc)
-    dt = (time.perf_counter() - t0) / reps
+    dt = (time.perf_counter() - t0) / REPS
     walker_steps_per_s = BATCH * MCMC_STEPS / dt
 
     # Full train step (sample + local energy + grad + Adam) timing.
@@ -85,6 +109,7 @@ def main():
         equilibrium_steps=MCMC_STEPS,
         laplacian_chunk=512,
         lr=1e-3,  # stable training regime (1e-2 oscillates at N=6 f32)
+        pallas_sampler=on_tpu,
         dtype="float32" if on_tpu else "float64",
     )
     model, params = _build(
@@ -92,19 +117,23 @@ def main():
     )
     optimizer = optax.adam(cfg.lr)
     state = init_gs_state(model, params, cfg, optimizer)
-    step_fn = make_gs_train_step(model, optimizer, cfg)
-    # Two warmup steps: the first compiles; the second absorbs the one-time
-    # donated-buffer layout recompile.
-    state, metrics = step_fn(state)
-    np.asarray(metrics["E"])
-    state, metrics = step_fn(state)
-    np.asarray(metrics["E"])
+    raw_step = make_gs_train_step(model, optimizer, cfg, jit=False)
+    REPS2 = 5
+
+    @jax.jit
+    def multi_step(state):
+        def body(s, _):
+            s2, m = raw_step(s)
+            return s2, m["E"]
+        return jax.lax.scan(body, state, None, length=REPS2)
+
+    state, Es = multi_step(state)
+    np.asarray(Es)  # compile + warmup
     t0 = time.perf_counter()
-    reps2 = 3
-    for _ in range(reps2):
-        state, metrics = step_fn(state)
-        np.asarray(metrics["E"])
-    step_s = (time.perf_counter() - t0) / reps2
+    state, Es = multi_step(state)
+    np.asarray(Es)
+    step_s = (time.perf_counter() - t0) / REPS2
+    metrics = {"E": Es[-1]}
 
     print(
         json.dumps(

@@ -65,6 +65,8 @@ def add_flags(parser: argparse.ArgumentParser, finite_t: bool):
                              "frames (.npy) to this path")
     parser.add_argument("--movie-frames", type=int, default=50)
     parser.add_argument("--movie-walkers", type=int, default=2000)
+    parser.add_argument("--no-pallas-sampler", action="store_true",
+                        help="disable the fused TPU Metropolis kernel")
 
 
 def config_from_args(args, finite_t: bool) -> Config:
@@ -95,6 +97,12 @@ def config_from_args(args, finite_t: bool) -> Config:
         cfg.beta = args.beta
         cfg.deltaE = args.deltaE
         cfg.boltzmann = args.boltzmann
+    cfg.pallas_sampler = (
+        not args.no_pallas_sampler
+        and cfg.dtype == "float32"
+        and cfg.ndown == 0
+        and jax.default_backend() == "tpu"
+    )
     return cfg
 
 

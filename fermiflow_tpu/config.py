@@ -45,6 +45,7 @@ class Config:
     persistent_walkers: bool = False  # carry chains + per-walker tau adaptation
     tau_target_accept: float = 0.5
     tau_gain: float = 0.1
+    pallas_sampler: bool = False  # fused TPU Metropolis kernel (f32, GS only)
 
     # optimization
     lr: float = 1e-2

@@ -66,11 +66,26 @@ class FreeFermion:
         equilibrium_steps: int = 100,
         tau: float = 0.1,
         dtype=jnp.float64,
+        use_pallas: bool = False,
     ) -> jax.Array:
-        """Metropolis-sample the Slater density from a fresh Gaussian init."""
+        """Metropolis-sample the Slater density from a fresh Gaussian init.
+
+        ``use_pallas=True`` routes the polarized f32 case through the fused
+        TPU kernel (ops/pallas_metropolis)."""
         n = len(occ_up) + len(occ_down)
         k_init, k_mcmc = jax.random.split(key)
         x0 = jax.random.normal(k_init, (*sample_shape, n, self.dim), dtype=dtype)
+        if use_pallas and len(occ_down) == 0 and dtype == jnp.float32:
+            from fermiflow_tpu.ops.pallas_metropolis import metropolis_free_fermion
+
+            seed = jax.random.randint(k_mcmc, (), 0, 2**31 - 1, dtype=jnp.int32)
+            nx_occ = tuple(int(v) for v in self.orbitals.nx[list(occ_up)])
+            ny_occ = tuple(int(v) for v in self.orbitals.ny[list(occ_up)])
+            x, _, _ = metropolis_free_fermion(
+                x0, seed, tau, equilibrium_steps, nx_occ, ny_occ,
+                self.orbitals.num_shells,
+            )
+            return x
         state = mcmc.metropolis(
             lambda x: self.log_prob(occ_up, occ_down, x),
             k_mcmc,

@@ -29,6 +29,7 @@ import optax
 
 from fermiflow_tpu import mcmc
 from fermiflow_tpu.config import Config
+from fermiflow_tpu.ops.pallas_metropolis import metropolis_free_fermion
 from fermiflow_tpu.parallel.mesh import walker_sharding
 from fermiflow_tpu.vmc.beta import BetaVMC
 from fermiflow_tpu.vmc.gs import GSVMC
@@ -71,12 +72,35 @@ def init_gs_state(model: GSVMC, params, cfg: Config, optimizer) -> TrainState:
     )
 
 
-def make_gs_train_step(model: GSVMC, optimizer, cfg: Config, mesh=None):
-    """Returns a jitted (TrainState) -> (TrainState, metrics) function."""
+def make_gs_train_step(model: GSVMC, optimizer, cfg: Config, mesh=None,
+                       jit: bool = True):
+    """Returns a (TrainState) -> (TrainState, metrics) function (jitted by
+    default; ``jit=False`` returns the raw traceable step for callers that
+    scan multiple steps inside one program, e.g. the benchmark)."""
     wshard = walker_sharding(mesh) if mesh is not None else None
     dtype = cfg.jnp_dtype()
 
     base_logp = lambda z: model.basedist.log_prob(model.occ_up, model.occ_down, z)
+    use_pallas = (
+        cfg.pallas_sampler
+        and model.ndown == 0
+        and dtype == jnp.float32
+        and mesh is None  # block-grid kernel is per-device; shard_map later
+    )
+    orb = model.basedist.orbitals
+    nx_occ = tuple(int(v) for v in orb.nx[model.occ_up])
+    ny_occ = tuple(int(v) for v in orb.ny[model.occ_up])
+
+    def sample_base(k_mcmc, z0, n_steps, tau):
+        if use_pallas:
+            seed = jax.random.randint(k_mcmc, (), 0, 2**31 - 1, dtype=jnp.int32)
+            x, logp, acc = metropolis_free_fermion(
+                z0, seed, tau, n_steps, nx_occ, ny_occ, orb.num_shells
+            )
+            return mcmc.MCMCState(
+                x=x, logp=logp, tau=jnp.asarray(tau, dtype), accept_rate=acc
+            )
+        return mcmc.metropolis(base_logp, k_mcmc, z0, n_steps, tau)
 
     def step_fn(state: TrainState):
         key, k_init, k_mcmc = jax.random.split(state.key, 3)
@@ -91,7 +115,7 @@ def make_gs_train_step(model: GSVMC, optimizer, cfg: Config, mesh=None):
             n_steps, tau = cfg.equilibrium_steps, jnp.asarray(cfg.tau, dtype)
 
         z0 = _constrain(z0, wshard)
-        ms = mcmc.metropolis(base_logp, k_mcmc, z0, n_steps, tau)
+        ms = sample_base(k_mcmc, z0, n_steps, tau)
         z = _constrain(ms.x, wshard)
         x = model.cnf.generate(state.params, z)
         x = jax.lax.stop_gradient(_constrain(x, wshard))
@@ -120,7 +144,7 @@ def make_gs_train_step(model: GSVMC, optimizer, cfg: Config, mesh=None):
             metrics,
         )
 
-    return jax.jit(step_fn, donate_argnums=0)
+    return jax.jit(step_fn, donate_argnums=0) if jit else step_fn if jit else step_fn
 
 
 def init_beta_state(model: BetaVMC, params, cfg: Config, optimizer) -> TrainState:
@@ -140,7 +164,8 @@ def init_beta_state(model: BetaVMC, params, cfg: Config, optimizer) -> TrainStat
     )
 
 
-def make_beta_train_step(model: BetaVMC, optimizer, cfg: Config, mesh=None):
+def make_beta_train_step(model: BetaVMC, optimizer, cfg: Config, mesh=None,
+                         jit: bool = True):
     """Finite-T analog of ``make_gs_train_step``; the Categorical state draw,
     mixed-state Metropolis, flow, both surrogate losses, and Adam run in one
     jit."""
@@ -199,4 +224,4 @@ def make_beta_train_step(model: BetaVMC, optimizer, cfg: Config, mesh=None):
             metrics,
         )
 
-    return jax.jit(step_fn, donate_argnums=0)
+    return jax.jit(step_fn, donate_argnums=0) if jit else step_fn

@@ -1,0 +1,73 @@
+"""Fused Pallas Metropolis kernel tests.
+
+The deterministic part (in-kernel Slater log-density) is validated on CPU via
+the TPU-flavored interpreter.  The PRNG-dependent full-chain behavior
+(acceptance rates, sampler moments) can only run on real TPU hardware — the
+interpreter stubs ``prng_random_bits`` to zeros — so those tests are
+TPU-gated (they run in the bench environment, not CPU CI).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fermiflow_tpu.physics import HO2D, FreeFermion
+
+orb = HO2D()
+bd = FreeFermion(orb)
+
+# The CPU test env pins jax_default_device to a CPU even when a TPU backend
+# exists, so gate on the effective default device, not the device list.
+_dd = jax.config.jax_default_device
+on_tpu = (_dd.platform if _dd is not None else jax.devices()[0].platform) == "tpu"
+needs_tpu = pytest.mark.skipif(not on_tpu, reason="needs real TPU PRNG")
+
+
+def _occ_tuples(n):
+    occ = np.arange(n, dtype=np.int32)
+    return (
+        occ,
+        tuple(int(v) for v in orb.nx[occ]),
+        tuple(int(v) for v in orb.ny[occ]),
+    )
+
+
+def test_kernel_logp_matches_free_fermion_interpret():
+    """steps=0 chain: the kernel's in-register Slater logp must equal
+    FreeFermion.log_prob (runs in the interpreter, CPU-safe)."""
+    from fermiflow_tpu.ops.pallas_metropolis import metropolis_free_fermion
+
+    occ, nx_occ, ny_occ = _occ_tuples(3)
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (128, 3, 2), dtype=jnp.float32)
+    x, logp, acc = metropolis_free_fermion(
+        x0, 7, 0.1, 0, nx_occ, ny_occ, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-6)
+    want = bd.log_prob(occ, (), x0)
+    np.testing.assert_allclose(np.asarray(logp), np.asarray(want), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(acc), 0.0)
+
+
+@needs_tpu
+def test_kernel_chain_acceptance_and_logp():
+    from fermiflow_tpu.ops.pallas_metropolis import metropolis_free_fermion
+
+    occ, nx_occ, ny_occ = _occ_tuples(6)
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (1024, 6, 2), dtype=jnp.float32)
+    x, logp, acc = metropolis_free_fermion(x0, 7, 0.1, 100, nx_occ, ny_occ)
+    assert 0.6 < float(acc.mean()) < 0.85
+    want = bd.log_prob(occ, (), x)
+    np.testing.assert_allclose(np.asarray(logp), np.asarray(want), atol=1e-4)
+
+
+@needs_tpu
+def test_kernel_sampler_moments():
+    """Single-particle ground state: <r²> = 1, <r⁴> = 2."""
+    from fermiflow_tpu.ops.pallas_metropolis import metropolis_free_fermion
+
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (4096, 1, 2), dtype=jnp.float32)
+    x, _, acc = metropolis_free_fermion(x0, 3, 0.5, 300, (0,), (0,))
+    r2 = np.asarray(jnp.sum(x**2, axis=(-2, -1)))
+    assert abs(r2.mean() - 1.0) < 0.05
+    assert abs((r2**2).mean() - 2.0) < 0.2
