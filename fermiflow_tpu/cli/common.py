@@ -67,6 +67,9 @@ def add_flags(parser: argparse.ArgumentParser, finite_t: bool):
     parser.add_argument("--movie-walkers", type=int, default=2000)
     parser.add_argument("--no-pallas-sampler", action="store_true",
                         help="disable the fused TPU Metropolis kernel")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="capture a jax.profiler trace of iterations 2-4 "
+                             "into this directory")
 
 
 def config_from_args(args, finite_t: bool) -> Config:

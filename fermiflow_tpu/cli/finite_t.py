@@ -17,7 +17,12 @@ import optax
 from fermiflow_tpu.cli import common
 from fermiflow_tpu.parallel import make_walker_mesh, shard_walkers
 from fermiflow_tpu.train import init_beta_state, make_beta_train_step
-from fermiflow_tpu.utils import MetricsLogger, restore_checkpoint, save_checkpoint
+from fermiflow_tpu.utils import (
+    MetricsLogger,
+    restore_checkpoint,
+    save_checkpoint,
+    trace,
+)
 
 
 def main(argv=None):
@@ -57,9 +62,19 @@ def main(argv=None):
     )
     print(f"batch = {cfg.batch}, iternum = {cfg.iternum}.")
 
+    profiling = None
     for i in range(start_step + 1, cfg.iternum + 1):
+        if args.profile_dir and i == 2:
+            profiling = trace(args.profile_dir)
+            profiling.__enter__()
         state, metrics = step_fn(state)
         rec = logger.log(i, metrics)
+        if profiling is not None and i == 4:
+            import numpy as _np
+
+            _np.asarray(metrics["E"])  # flush device work into the trace
+            profiling.__exit__(None, None, None)
+            profiling = None
         print(
             f"iter: {i:03d} F: {rec['F']} F_std: {rec['F_std']} "
             f"E: {rec['E']} E_std: {rec['E_std']} "

@@ -17,7 +17,12 @@ import optax
 from fermiflow_tpu.cli import common
 from fermiflow_tpu.parallel import make_walker_mesh, shard_walkers
 from fermiflow_tpu.train import init_gs_state, make_gs_train_step
-from fermiflow_tpu.utils import MetricsLogger, restore_checkpoint, save_checkpoint
+from fermiflow_tpu.utils import (
+    MetricsLogger,
+    restore_checkpoint,
+    save_checkpoint,
+    trace,
+)
 
 
 def main(argv=None):
@@ -49,9 +54,19 @@ def main(argv=None):
     print(f"nup = {cfg.nup}, ndown = {cfg.ndown}, Z = {cfg.Z:.1f}")
     print(f"batch = {cfg.batch}, iternum = {cfg.iternum}.")
 
+    profiling = None
     for i in range(start_step + 1, cfg.iternum + 1):
+        if args.profile_dir and i == 2:
+            profiling = trace(args.profile_dir)
+            profiling.__enter__()
         state, metrics = step_fn(state)
         rec = logger.log(i, metrics)
+        if profiling is not None and i == 4:
+            import numpy as _np
+
+            _np.asarray(metrics["E"])  # flush device work into the trace
+            profiling.__exit__(None, None, None)
+            profiling = None
         print(
             f"iter: {i:03d} E: {rec['E']} E_std: {rec['E_std']} "
             f"accept: {rec['accept_rate']:.3f} "

@@ -165,3 +165,14 @@ def test_beta_random_init_requires_key():
         model.init_log_state_weights(False)
     w = model.init_log_state_weights(False, key=jax.random.PRNGKey(0))
     assert w.shape == (model.Nstates,)
+
+
+def test_gs_unpolarized_two_spin_sectors(rng):
+    """GSVMC with ndown > 0 (the reference supports this in GSVMC even though
+    finite-T is polarized-only): Eloc == E0_up + E0_down exactly at Z=0."""
+    model = GSVMC(2, 1, bd, make_cnf(4), CoulombPairPotential(0.0), HOPotential())
+    params = backflow_init_zeros(8, 8)
+    _, x = model.sample(params, rng, 8, equilibrium_steps=20)
+    eloc, _ = jax.jit(model.local_energy)(params, x)
+    # E0 = (1+2) up + (1) down = 4
+    np.testing.assert_allclose(np.asarray(eloc), 4.0, atol=1e-8)
