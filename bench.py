@@ -79,8 +79,10 @@ def main():
     # Timing protocol: run REPS chained chains inside ONE jitted program and
     # fetch a value at the end.  Per-dispatch tunnel latency on remote TPU
     # platforms is O(100 ms) and block_until_ready does not reliably block,
-    # so per-call wall timing of eager dispatches is meaningless.
-    REPS = 10
+    # so per-call wall timing of eager dispatches is meaningless.  REPS is
+    # large enough to amortize the ~40 ms fixed program-launch overhead down
+    # to noise (the marginal chain cost is ~2 ms).
+    REPS = 50
 
     @jax.jit
     def run_epochs(key, x0):

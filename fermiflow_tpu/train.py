@@ -29,7 +29,10 @@ import optax
 
 from fermiflow_tpu import mcmc
 from fermiflow_tpu.config import Config
-from fermiflow_tpu.ops.pallas_metropolis import metropolis_free_fermion
+from fermiflow_tpu.ops.pallas_metropolis import (
+    metropolis_free_fermion,
+    metropolis_free_fermion_multistate,
+)
 from fermiflow_tpu.parallel.mesh import walker_sharding
 from fermiflow_tpu.vmc.beta import BetaVMC
 from fermiflow_tpu.vmc.gs import GSVMC
@@ -172,6 +175,31 @@ def make_beta_train_step(model: BetaVMC, optimizer, cfg: Config, mesh=None,
     wshard = walker_sharding(mesh) if mesh is not None else None
     dtype = cfg.jnp_dtype()
     occ_table = jnp.asarray(model.occ_table)
+    orb = model.basedist.orbitals
+    nx_tab = jnp.asarray(orb.nx)
+    ny_tab = jnp.asarray(orb.ny)
+    use_pallas = (
+        cfg.pallas_sampler and dtype == jnp.float32 and mesh is None
+    )
+
+    def sample_base(k_mcmc, state_idx, z0, n_steps, tau):
+        if use_pallas:
+            occ = jnp.take(occ_table, state_idx, axis=0)  # (batch, n)
+            seed = jax.random.randint(k_mcmc, (), 0, 2**31 - 1, dtype=jnp.int32)
+            x, logp, acc = metropolis_free_fermion_multistate(
+                z0, seed, tau, n_steps,
+                jnp.take(nx_tab, occ), jnp.take(ny_tab, occ), orb.num_shells,
+            )
+            return mcmc.MCMCState(
+                x=x, logp=logp, tau=jnp.asarray(tau, dtype), accept_rate=acc
+            )
+        return mcmc.metropolis(
+            lambda z: model.basedist.log_prob_multstates(occ_table, state_idx, z),
+            k_mcmc,
+            z0,
+            n_steps,
+            tau,
+        )
 
     def step_fn(state: TrainState):
         key, k_state, k_init, k_mcmc = jax.random.split(state.key, 4)
@@ -189,13 +217,7 @@ def make_beta_train_step(model: BetaVMC, optimizer, cfg: Config, mesh=None,
             n_steps, tau = cfg.equilibrium_steps, jnp.asarray(cfg.tau, dtype)
 
         z0 = _constrain(z0, wshard)
-        ms = mcmc.metropolis(
-            lambda z: model.basedist.log_prob_multstates(occ_table, state_idx, z),
-            k_mcmc,
-            z0,
-            n_steps,
-            tau,
-        )
+        ms = sample_base(k_mcmc, state_idx, z0, n_steps, tau)
         z = _constrain(ms.x, wshard)
         x = model.cnf.generate(state.params["flow"], z)
         x = jax.lax.stop_gradient(_constrain(x, wshard))

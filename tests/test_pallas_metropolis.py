@@ -71,3 +71,47 @@ def test_kernel_sampler_moments():
     r2 = np.asarray(jnp.sum(x**2, axis=(-2, -1)))
     assert abs(r2.mean() - 1.0) < 0.05
     assert abs((r2**2).mean() - 2.0) < 0.2
+
+
+def test_multistate_kernel_logp_matches_interpret():
+    """steps=0: the mixed-state kernel's in-register log density equals
+    FreeFermion.log_prob_multstates (interpreter, CPU-safe)."""
+    from fermiflow_tpu.ops.pallas_metropolis import (
+        metropolis_free_fermion_multistate,
+    )
+
+    occ_table, _ = orb.fermion_states(3, 0, 2.0)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    B = 256
+    idx = jax.random.randint(k1, (B,), 0, occ_table.shape[0])
+    x0 = jax.random.normal(k2, (B, 3, 2), dtype=jnp.float32)
+    occ = jnp.take(jnp.asarray(occ_table), idx, axis=0)
+    nx = jnp.take(jnp.asarray(orb.nx), occ)
+    ny = jnp.take(jnp.asarray(orb.ny), occ)
+    x, logp, acc = metropolis_free_fermion_multistate(
+        x0, 7, 0.1, 0, nx, ny, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-6)
+    want = bd.log_prob_multstates(jnp.asarray(occ_table), idx, x0)
+    np.testing.assert_allclose(np.asarray(logp), np.asarray(want), atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(acc), 0.0)
+
+
+@needs_tpu
+def test_multistate_kernel_chain():
+    from fermiflow_tpu.ops.pallas_metropolis import (
+        metropolis_free_fermion_multistate,
+    )
+
+    occ_table, _ = orb.fermion_states(6, 0, 2.0)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    B = 1024
+    idx = jax.random.randint(k1, (B,), 0, occ_table.shape[0])
+    x0 = jax.random.normal(k2, (B, 6, 2), dtype=jnp.float32)
+    occ = jnp.take(jnp.asarray(occ_table), idx, axis=0)
+    nx = jnp.take(jnp.asarray(orb.nx), occ)
+    ny = jnp.take(jnp.asarray(orb.ny), occ)
+    x, logp, acc = metropolis_free_fermion_multistate(x0, 7, 0.1, 100, nx, ny)
+    assert 0.55 < float(acc.mean()) < 0.9
+    want = bd.log_prob_multstates(jnp.asarray(occ_table), idx, x)
+    np.testing.assert_allclose(np.asarray(logp), np.asarray(want), atol=1e-3)
