@@ -70,6 +70,8 @@ def add_flags(parser: argparse.ArgumentParser, finite_t: bool):
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="capture a jax.profiler trace of iterations 2-4 "
                              "into this directory")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="enable jax_debug_nans (numerical sanitizer)")
 
 
 def config_from_args(args, finite_t: bool) -> Config:
@@ -109,7 +111,9 @@ def config_from_args(args, finite_t: bool) -> Config:
     return cfg
 
 
-def setup_precision(cfg: Config):
+def setup_precision(cfg: Config, debug_nans: bool = False):
+    if debug_nans:
+        jax.config.update("jax_debug_nans", True)
     if cfg.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
         if jax.default_backend() == "tpu":

@@ -32,7 +32,7 @@ def main(argv=None):
     common.add_flags(parser, finite_t=True)
     args = parser.parse_args(argv)
     cfg = common.config_from_args(args, finite_t=True)
-    common.setup_precision(cfg)
+    common.setup_precision(cfg, debug_nans=args.debug_nans)
 
     model, params = common.build_beta(cfg)
     optimizer = optax.adam(cfg.lr)

@@ -32,7 +32,7 @@ def main(argv=None):
     common.add_flags(parser, finite_t=False)
     args = parser.parse_args(argv)
     cfg = common.config_from_args(args, finite_t=False)
-    common.setup_precision(cfg)
+    common.setup_precision(cfg, debug_nans=args.debug_nans)
 
     model, params = common.build_gs(cfg)
     optimizer = optax.adam(cfg.lr)

@@ -1,0 +1,107 @@
+"""Walker-sharded scaling measurement.
+
+BASELINE.json's north star includes ">=80% walker-steps/s scaling efficiency"
+across devices.  Real multi-chip hardware is not attached to this session, so
+this script measures WEAK SCALING of the sharded train step over however many
+devices are visible (on a TPU pod slice it measures the real thing; on CPU it
+exercises the identical GSPMD program over virtual devices with
+XLA_FLAGS=--xla_force_host_platform_device_count=N, which validates the
+sharding/collective structure but not ICI bandwidth).
+
+Prints one JSON line: per-device-count walker-throughput of the full VMC
+train step and the efficiency relative to 1 device.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fermiflow_tpu.cli import common
+from fermiflow_tpu.config import Config
+from fermiflow_tpu.parallel import make_walker_mesh, shard_walkers
+from fermiflow_tpu.train import init_gs_state, make_gs_train_step
+
+BATCH_PER_DEVICE = 1024
+REPS = 5
+
+
+def measure(devices, cfg_kwargs):
+    ndev = len(devices)
+    cfg = Config(
+        nup=6,
+        Z=0.5,
+        batch=BATCH_PER_DEVICE * ndev,
+        ode_steps=4,
+        equilibrium_steps=30,
+        persistent_walkers=True,
+        mcmc_steps=30,
+        lr=1e-3,
+        **cfg_kwargs,
+    )
+    model, params = common.build_gs(cfg)
+    optimizer = optax.adam(cfg.lr)
+    mesh = make_walker_mesh(devices)
+    state = init_gs_state(model, params, cfg, optimizer)
+    state = state._replace(
+        walkers=shard_walkers(mesh, state.walkers),
+        tau=shard_walkers(mesh, state.tau),
+    )
+    raw = make_gs_train_step(model, optimizer, cfg, mesh=mesh, jit=False)
+
+    @jax.jit
+    def multi(state):
+        def body(s, _):
+            s2, m = raw(s)
+            return s2, m["E"]
+
+        return jax.lax.scan(body, state, None, length=REPS)
+
+    state, Es = multi(state)
+    np.asarray(Es)  # compile+warmup
+    t0 = time.perf_counter()
+    state, Es = multi(state)
+    np.asarray(Es)
+    dt = (time.perf_counter() - t0) / REPS
+    walker_steps = cfg.batch * cfg.mcmc_steps
+    return walker_steps / dt, float(Es[-1])
+
+
+def main():
+    tpus = [d for d in jax.devices() if d.platform == "tpu"]
+    # A single chip has no scaling story — fall back to the virtual CPU mesh
+    # (set XLA_FLAGS=--xla_force_host_platform_device_count=N).
+    use_tpu = len(tpus) > 1
+    devices = tpus if use_tpu else jax.devices("cpu")
+    dtype = "float32" if use_tpu else "float64"
+    counts = sorted({1, 2, len(devices) // 2, len(devices)} - {0})
+    results = {}
+    base = None
+    for ndev in counts:
+        if ndev > len(devices):
+            continue
+        wps, E = measure(devices[:ndev], {"dtype": dtype})
+        if base is None:
+            base = wps
+        results[str(ndev)] = {
+            "walker_steps_per_s": round(wps, 1),
+            "efficiency": round(wps / (base * ndev), 3),
+            "E": round(E, 4),
+        }
+    print(
+        json.dumps(
+            {
+                "metric": "train_step_walker_throughput_scaling",
+                "batch_per_device": BATCH_PER_DEVICE,
+                "platform": devices[0].platform,
+                "results": results,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
