@@ -75,6 +75,8 @@ def main():
     # A single chip has no scaling story — fall back to the virtual CPU mesh
     # (set XLA_FLAGS=--xla_force_host_platform_device_count=N).
     use_tpu = len(tpus) > 1
+    if not use_tpu:
+        jax.config.update("jax_enable_x64", True)
     devices = tpus if use_tpu else jax.devices("cpu")
     dtype = "float32" if use_tpu else "float64"
     counts = sorted({1, 2, len(devices) // 2, len(devices)} - {0})
