@@ -45,7 +45,8 @@ class Config:
     persistent_walkers: bool = False  # carry chains + per-walker tau adaptation
     tau_target_accept: float = 0.5
     tau_gain: float = 0.1
-    pallas_sampler: bool = False  # fused TPU Metropolis kernel (f32, GS only)
+    pallas_sampler: bool = False  # fused TPU Metropolis kernel (f32 only)
+    pallas_interpret: bool = False  # run the kernel in the TPU interpreter (CPU tests)
 
     # optimization
     lr: float = 1e-2

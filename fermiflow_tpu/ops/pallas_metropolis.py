@@ -34,7 +34,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["metropolis_free_fermion", "metropolis_free_fermion_multistate"]
+__all__ = [
+    "metropolis_free_fermion",
+    "metropolis_free_fermion_multistate",
+    "metropolis_free_fermion_sharded",
+    "metropolis_free_fermion_multistate_sharded",
+]
 
 _TWO_PI = 2.0 * math.pi
 
@@ -439,3 +444,95 @@ def metropolis_free_fermion_multistate(
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seed_arr, x_cm, tau_b, nx_cm, ny_cm)
     return x_out.T.reshape(B, n, dim), logp[0], acc[0]
+
+
+# ---- multi-chip wrappers (shard_map over the walker mesh) ----
+#
+# The block-grid kernels above are per-device programs; under GSPMD they would
+# otherwise be partitioned blindly.  These wrappers run one kernel per shard
+# via ``jax.shard_map``: walker arrays (x0, per-walker tau/occupations) are
+# split on the mesh's walker axis, the scalar seed is decorrelated per shard
+# by folding in ``lax.axis_index`` (each in-kernel program additionally
+# offsets by ``pl.program_id``), and outputs stay walker-sharded — the
+# TPU-native analog of a multi-GPU sampler launch, with zero collectives
+# (Metropolis chains are embarrassingly parallel across walkers).
+
+
+def _per_shard_seed(seed, axis_name):
+    # Distinct 32-bit streams per shard: the in-kernel offset is program_id
+    # (< B/BW per shard), so spacing shards 2**16 apart keeps streams disjoint
+    # for any realistic shard block count.  int32 wraparound is fine.
+    idx = jax.lax.axis_index(axis_name).astype(jnp.int32)
+    return jnp.asarray(seed, jnp.int32) + idx * jnp.int32(1 << 16)
+
+
+def metropolis_free_fermion_sharded(
+    mesh,
+    x0: jax.Array,
+    seed: jax.Array,
+    tau,
+    steps: int,
+    nx_occ: tuple,
+    ny_occ: tuple,
+    num_shells: int = 8,
+    interpret: bool = False,
+    axis: str = "walkers",
+):
+    """``metropolis_free_fermion`` over every device of a walker mesh.
+
+    x0 is (B, n, dim) with B divisible by (mesh size × kernel block); tau is a
+    scalar (replicated) or (B,) (walker-sharded).  Returns walker-sharded
+    (x, logp, accept_rate).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    tau = jnp.asarray(tau, jnp.float32)
+    tau_spec = P(axis) if tau.ndim == 1 else P()
+
+    def local(x0_l, seed_l, tau_l):
+        return metropolis_free_fermion(
+            x0_l, _per_shard_seed(seed_l, axis), tau_l, steps,
+            nx_occ, ny_occ, num_shells, interpret,
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(), tau_spec),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )(x0, jnp.asarray(seed, jnp.int32), tau)
+
+
+def metropolis_free_fermion_multistate_sharded(
+    mesh,
+    x0: jax.Array,
+    seed: jax.Array,
+    tau,
+    steps: int,
+    nx_occ: jax.Array,
+    ny_occ: jax.Array,
+    num_shells: int = 8,
+    interpret: bool = False,
+    axis: str = "walkers",
+):
+    """Mixed-state fused chain over a walker mesh; per-walker occupations
+    (B, n) shard with the walkers."""
+    from jax.sharding import PartitionSpec as P
+
+    tau = jnp.asarray(tau, jnp.float32)
+    tau_spec = P(axis) if tau.ndim == 1 else P()
+
+    def local(x0_l, seed_l, tau_l, nx_l, ny_l):
+        return metropolis_free_fermion_multistate(
+            x0_l, _per_shard_seed(seed_l, axis), tau_l, steps,
+            nx_l, ny_l, num_shells, interpret,
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(), tau_spec, P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )(x0, jnp.asarray(seed, jnp.int32), tau, nx_occ, ny_occ)

@@ -32,6 +32,8 @@ from fermiflow_tpu.config import Config
 from fermiflow_tpu.ops.pallas_metropolis import (
     metropolis_free_fermion,
     metropolis_free_fermion_multistate,
+    metropolis_free_fermion_multistate_sharded,
+    metropolis_free_fermion_sharded,
 )
 from fermiflow_tpu.parallel.mesh import walker_sharding
 from fermiflow_tpu.vmc.beta import BetaVMC
@@ -88,7 +90,6 @@ def make_gs_train_step(model: GSVMC, optimizer, cfg: Config, mesh=None,
         cfg.pallas_sampler
         and model.ndown == 0
         and dtype == jnp.float32
-        and mesh is None  # block-grid kernel is per-device; shard_map later
     )
     orb = model.basedist.orbitals
     nx_occ = tuple(int(v) for v in orb.nx[model.occ_up])
@@ -97,9 +98,17 @@ def make_gs_train_step(model: GSVMC, optimizer, cfg: Config, mesh=None,
     def sample_base(k_mcmc, z0, n_steps, tau):
         if use_pallas:
             seed = jax.random.randint(k_mcmc, (), 0, 2**31 - 1, dtype=jnp.int32)
-            x, logp, acc = metropolis_free_fermion(
-                z0, seed, tau, n_steps, nx_occ, ny_occ, orb.num_shells
-            )
+            if mesh is None:
+                x, logp, acc = metropolis_free_fermion(
+                    z0, seed, tau, n_steps, nx_occ, ny_occ, orb.num_shells,
+                    cfg.pallas_interpret,
+                )
+            else:
+                # one kernel launch per device, walkers sharded on the mesh
+                x, logp, acc = metropolis_free_fermion_sharded(
+                    mesh, z0, seed, tau, n_steps, nx_occ, ny_occ,
+                    orb.num_shells, cfg.pallas_interpret,
+                )
             return mcmc.MCMCState(
                 x=x, logp=logp, tau=jnp.asarray(tau, dtype), accept_rate=acc
             )
@@ -178,18 +187,25 @@ def make_beta_train_step(model: BetaVMC, optimizer, cfg: Config, mesh=None,
     orb = model.basedist.orbitals
     nx_tab = jnp.asarray(orb.nx)
     ny_tab = jnp.asarray(orb.ny)
-    use_pallas = (
-        cfg.pallas_sampler and dtype == jnp.float32 and mesh is None
-    )
+    use_pallas = cfg.pallas_sampler and dtype == jnp.float32
 
     def sample_base(k_mcmc, state_idx, z0, n_steps, tau):
         if use_pallas:
             occ = jnp.take(occ_table, state_idx, axis=0)  # (batch, n)
             seed = jax.random.randint(k_mcmc, (), 0, 2**31 - 1, dtype=jnp.int32)
-            x, logp, acc = metropolis_free_fermion_multistate(
-                z0, seed, tau, n_steps,
-                jnp.take(nx_tab, occ), jnp.take(ny_tab, occ), orb.num_shells,
-            )
+            nx = jnp.take(nx_tab, occ)
+            ny = jnp.take(ny_tab, occ)
+            if mesh is None:
+                x, logp, acc = metropolis_free_fermion_multistate(
+                    z0, seed, tau, n_steps, nx, ny, orb.num_shells,
+                    cfg.pallas_interpret,
+                )
+            else:
+                x, logp, acc = metropolis_free_fermion_multistate_sharded(
+                    mesh, z0, seed, tau, n_steps,
+                    _constrain(nx, wshard), _constrain(ny, wshard),
+                    orb.num_shells, cfg.pallas_interpret,
+                )
             return mcmc.MCMCState(
                 x=x, logp=logp, tau=jnp.asarray(tau, dtype), accept_rate=acc
             )

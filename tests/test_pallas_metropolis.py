@@ -97,6 +97,78 @@ def test_multistate_kernel_logp_matches_interpret():
     np.testing.assert_array_equal(np.asarray(acc), 0.0)
 
 
+def test_sharded_wrappers_match_single_device_interpret():
+    """shard_map-wrapped kernels over the 8-virtual-CPU walker mesh must
+    reproduce the single-launch results (steps=0 → RNG-independent)."""
+    from fermiflow_tpu.ops.pallas_metropolis import (
+        metropolis_free_fermion,
+        metropolis_free_fermion_multistate_sharded,
+        metropolis_free_fermion_sharded,
+    )
+    from fermiflow_tpu.parallel import make_walker_mesh
+
+    cpus = jax.devices("cpu")
+    if len(cpus) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_walker_mesh(cpus)
+
+    occ, nx_occ, ny_occ = _occ_tuples(3)
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (256, 3, 2), dtype=jnp.float32)
+    x_s, logp_s, acc_s = metropolis_free_fermion_sharded(
+        mesh, x0, 7, 0.1, 0, nx_occ, ny_occ, interpret=True
+    )
+    x_u, logp_u, _ = metropolis_free_fermion(
+        x0, 7, 0.1, 0, nx_occ, ny_occ, interpret=True
+    )
+    assert len(x_s.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(x_s), np.asarray(x_u), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(logp_s), np.asarray(logp_u), atol=1e-4)
+
+    occ_table, _ = orb.fermion_states(3, 0, 2.0)
+    idx = jax.random.randint(jax.random.PRNGKey(1), (256,), 0, occ_table.shape[0])
+    occm = jnp.take(jnp.asarray(occ_table), idx, axis=0)
+    nx = jnp.take(jnp.asarray(orb.nx), occm)
+    ny = jnp.take(jnp.asarray(orb.ny), occm)
+    xm, logpm, _ = metropolis_free_fermion_multistate_sharded(
+        mesh, x0, 7, 0.1, 0, nx, ny, interpret=True
+    )
+    want = bd.log_prob_multstates(jnp.asarray(occ_table), idx, x0)
+    assert len(xm.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(logpm), np.asarray(want), atol=1e-3)
+
+
+def test_sharded_pallas_train_step_runs_interpret():
+    """Full GS train step with the sharded Pallas sampler (interpret mode) on
+    the 8-virtual-CPU mesh: compiles, executes, keeps walkers sharded."""
+    import optax
+
+    from fermiflow_tpu.cli import common
+    from fermiflow_tpu.config import Config
+    from fermiflow_tpu.parallel import make_walker_mesh, shard_walkers
+    from fermiflow_tpu.train import init_gs_state, make_gs_train_step
+
+    cpus = jax.devices("cpu")
+    if len(cpus) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_walker_mesh(cpus)
+    cfg = Config(
+        nup=3, Z=0.5, batch=64, d_eta=8, d_mu=8, ode_steps=2,
+        equilibrium_steps=2, dtype="float32",
+        pallas_sampler=True, pallas_interpret=True,
+    )
+    model, params = common.build_gs(cfg)
+    opt = optax.adam(cfg.lr)
+    state = init_gs_state(model, params, cfg, opt)
+    state = state._replace(
+        walkers=shard_walkers(mesh, state.walkers),
+        tau=shard_walkers(mesh, state.tau),
+    )
+    step = make_gs_train_step(model, opt, cfg, mesh=mesh)
+    state, metrics = step(state)
+    assert np.isfinite(float(metrics["E"]))
+    assert len(state.walkers.sharding.device_set) == 8
+
+
 @needs_tpu
 def test_multistate_kernel_chain():
     from fermiflow_tpu.ops.pallas_metropolis import (
