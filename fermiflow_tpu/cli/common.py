@@ -15,6 +15,7 @@ from fermiflow_tpu.config import Config
 from fermiflow_tpu.flow import CNF
 from fermiflow_tpu.nn import backflow_init_zeros
 from fermiflow_tpu.nn.backflow import backflow_apply, backflow_divergence
+from fermiflow_tpu.nn.backflow_derivs import backflow_field_tensors
 from fermiflow_tpu.physics import (
     HO2D,
     CoulombPairPotential,
@@ -67,6 +68,11 @@ def add_flags(parser: argparse.ArgumentParser, finite_t: bool):
     parser.add_argument("--movie-walkers", type=int, default=2000)
     parser.add_argument("--no-pallas-sampler", action="store_true",
                         help="disable the fused TPU Metropolis kernel")
+    parser.add_argument("--local-energy", type=str, default=d.local_energy,
+                        choices=["auto", "hessian_flow", "nested_jvp"],
+                        help="local-energy engine: forward Hessian flow "
+                             "(closed-form field derivatives) or nested-jvp "
+                             "Laplacian through the reverse ODE")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="capture a jax.profiler trace of iterations 2-4 "
                              "into this directory")
@@ -97,6 +103,7 @@ def config_from_args(args, finite_t: bool) -> Config:
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
         metrics_path=args.metrics,
+        local_energy=args.local_energy,
     )
     if finite_t:
         cfg.beta = args.beta
@@ -131,6 +138,7 @@ def make_cnf(cfg: Config) -> CNF:
     return CNF(
         velocity=backflow_apply,
         divergence=backflow_divergence,
+        field_tensors=backflow_field_tensors,
         t0=cfg.t0,
         t1=cfg.t1,
         steps=cfg.ode_steps,

@@ -53,6 +53,7 @@ class Config:
     iternum: int = 1000
 
     # numerics / runtime
+    local_energy: str = "auto"  # auto | hessian_flow | nested_jvp
     laplacian_chunk: int | None = None  # batch chunk for the Laplacian engine
     dtype: str = "float64"  # float64 | float32 | bfloat16
     seed: int = 42

@@ -47,10 +47,15 @@ class CNF:
         without it the scan stacks per-step pair activations
         (ode_steps x batch x n x n x hidden), which alone overflows HBM at
         production batch sizes; with it the backward recomputes each step.
+      field_tensors: optional closed-form derivative-tensor function of the
+        velocity field ((params, x, g) -> dict, see nn/backflow_derivs.py).
+        When provided, the VMC models can use the Hessian-flow local-energy
+        engine (vmc/hessian_flow.py) instead of nested-jvp Laplacians.
     """
 
     velocity: Callable
     divergence: Callable
+    field_tensors: Callable | None = None
     t0: float = 0.0
     t1: float = 1.0
     steps: int = 16

@@ -13,7 +13,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["mlp_init_zeros", "mlp_init_gaussian", "mlp_apply", "mlp_grad"]
+__all__ = [
+    "mlp_init_zeros",
+    "mlp_init_gaussian",
+    "mlp_apply",
+    "mlp_grad",
+    "mlp_derivs3",
+]
 
 
 def mlp_init_zeros(d_in: int, d_hidden: int, dtype=jnp.float64) -> dict:
@@ -48,6 +54,47 @@ def mlp_apply(params: dict, x: jax.Array) -> jax.Array:
         jnp.matmul(x, params["w1"], precision=_HI) + params["b1"]
     )
     return jnp.matmul(h, params["w2"], precision=_HI)
+
+
+def mlp_derivs3(params: dict, r: jax.Array):
+    """Value and first three derivatives of the SCALAR-input MLP.
+
+    For the d_in=1 networks (eta, mu) used by the backflow field: with hidden
+    pre-activations z = w1 r + b1 and s = sigmoid(z),
+
+        y      = s . w2
+        y'     = (w1    sigma' ) . w2,   sigma'   = s(1-s)
+        y''    = (w1^2  sigma'') . w2,   sigma''  = sigma'(1-2s)
+        y'''   = (w1^3  sigma''') . w2,  sigma''' = sigma'(1-2s)^2 - 2 sigma'^2
+
+    Feeds the closed-form field-derivative tensors of the Hessian-flow local
+    energy (the analytic analog, two orders deeper, of reference
+    ``src/MLP.py:37-45``).
+
+    Args:
+      params: {"w1": (1, h), "b1": (h,), "w2": (h, 1)}.
+      r: (...,) scalar inputs (NO trailing feature axis).
+
+    Returns:
+      (y, y1, y2, y3), each shaped like ``r``.
+    """
+    w1 = params["w1"][0]  # (h,)
+    w2 = params["w2"][:, 0]  # (h,)
+    z = r[..., None] * w1 + params["b1"]
+    s = jax.nn.sigmoid(z)
+    s1 = s * (1.0 - s)
+    s2 = s1 * (1.0 - 2.0 * s)
+    s3 = s1 * (1.0 - 2.0 * s) ** 2 - 2.0 * s1 * s1
+
+    def contract(sk, k):
+        return jnp.matmul(sk * (w1**k), w2, precision=_HI)
+
+    return (
+        jnp.matmul(s, w2, precision=_HI),
+        contract(s1, 1),
+        contract(s2, 2),
+        contract(s3, 3),
+    )
 
 
 def mlp_grad(params: dict, x: jax.Array) -> jax.Array:

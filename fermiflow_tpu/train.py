@@ -60,6 +60,20 @@ def _constrain(tree, sharding):
     )
 
 
+def _use_hessian_flow(cfg: Config, cnf) -> bool:
+    """Local-energy engine selection: the Hessian-flow path needs the
+    closed-form field tensors; "auto" uses it whenever they are available."""
+    if cfg.local_energy == "nested_jvp":
+        return False
+    if cnf.field_tensors is None:
+        if cfg.local_energy == "hessian_flow":
+            raise ValueError(
+                "local_energy='hessian_flow' requires cnf.field_tensors"
+            )
+        return False
+    return True
+
+
 def init_gs_state(model: GSVMC, params, cfg: Config, optimizer) -> TrainState:
     dtype = cfg.jnp_dtype()
     key = jax.random.PRNGKey(cfg.seed)
@@ -129,12 +143,18 @@ def make_gs_train_step(model: GSVMC, optimizer, cfg: Config, mesh=None,
         z0 = _constrain(z0, wshard)
         ms = sample_base(k_mcmc, z0, n_steps, tau)
         z = _constrain(ms.x, wshard)
-        x = model.cnf.generate(state.params, z)
-        x = jax.lax.stop_gradient(_constrain(x, wshard))
 
-        (loss, metrics), grads = jax.value_and_grad(
-            model.loss_and_metrics, has_aux=True
-        )(state.params, x)
+        if _use_hessian_flow(cfg, model.cnf):
+            # Forward augmented flow: Eloc straight from the base samples.
+            (loss, metrics), grads = jax.value_and_grad(
+                model.loss_and_metrics_from_base, has_aux=True
+            )(state.params, z)
+        else:
+            x = model.cnf.generate(state.params, z)
+            x = jax.lax.stop_gradient(_constrain(x, wshard))
+            (loss, metrics), grads = jax.value_and_grad(
+                model.loss_and_metrics, has_aux=True
+            )(state.params, x)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
@@ -156,7 +176,7 @@ def make_gs_train_step(model: GSVMC, optimizer, cfg: Config, mesh=None,
             metrics,
         )
 
-    return jax.jit(step_fn, donate_argnums=0) if jit else step_fn if jit else step_fn
+    return jax.jit(step_fn, donate_argnums=0) if jit else step_fn
 
 
 def init_beta_state(model: BetaVMC, params, cfg: Config, optimizer) -> TrainState:
@@ -235,12 +255,17 @@ def make_beta_train_step(model: BetaVMC, optimizer, cfg: Config, mesh=None,
         z0 = _constrain(z0, wshard)
         ms = sample_base(k_mcmc, state_idx, z0, n_steps, tau)
         z = _constrain(ms.x, wshard)
-        x = model.cnf.generate(state.params["flow"], z)
-        x = jax.lax.stop_gradient(_constrain(x, wshard))
 
-        (loss, metrics), grads = jax.value_and_grad(
-            model.loss_and_metrics, has_aux=True
-        )(state.params, state_idx, x)
+        if _use_hessian_flow(cfg, model.cnf):
+            (loss, metrics), grads = jax.value_and_grad(
+                model.loss_and_metrics_from_base, has_aux=True
+            )(state.params, state_idx, z)
+        else:
+            x = model.cnf.generate(state.params["flow"], z)
+            x = jax.lax.stop_gradient(_constrain(x, wshard))
+            (loss, metrics), grads = jax.value_and_grad(
+                model.loss_and_metrics, has_aux=True
+            )(state.params, state_idx, x)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 

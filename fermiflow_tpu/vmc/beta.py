@@ -127,25 +127,43 @@ class BetaVMC:
             pot = pot + self.sp_potential(x)
         return pot
 
+    # -- Hessian-flow path: local energy directly from base samples --
+
+    def local_energy_from_base(self, flow_params, state_idx: jax.Array, z: jax.Array):
+        """(x, eloc, logp) via the forward augmented flow, each walker in its
+        own Slater state (see GSVMC.local_energy_from_base)."""
+        from fermiflow_tpu.vmc.hessian_flow import local_energy_flow
+
+        occ_table = jnp.asarray(self.occ_table)
+        return local_energy_flow(
+            self.cnf.field_tensors,
+            lambda zs, idx: self.basedist.log_prob_multstates(
+                occ_table, idx[None], zs[None]
+            )[0],
+            self.potential,
+            flow_params,
+            z,
+            self.cnf.t0,
+            self.cnf.t1,
+            steps=self.cnf.steps,
+            method=self.cnf.method,
+            base_args=(state_idx,),
+        )
+
+    def loss_and_metrics_from_base(self, params, state_idx: jax.Array, z: jax.Array):
+        """As ``loss_and_metrics`` but from base samples z (Hessian flow)."""
+        flow_sg = jax.lax.stop_gradient(params["flow"])
+        x, eloc, _ = self.local_energy_from_base(flow_sg, state_idx, z)
+        x = jax.lax.stop_gradient(x)
+        eloc = jax.lax.stop_gradient(eloc)
+        return self._losses_from_eloc(params, state_idx, x, eloc)
+
     # -- loss & estimators --
 
-    def loss_and_metrics(self, params, state_idx: jax.Array, x: jax.Array):
-        """Combined surrogate loss (phi + theta terms act on disjoint params)
-        and the full metric set (E, F, S, S_analytical + stds)."""
-        flow_params = params["flow"]
+    def _losses_from_eloc(self, params, state_idx, x, eloc):
+        """Shared estimator/surrogate assembly given detached local energies."""
         logits = params["log_state_weights"]
-
-        # Local energy under fully stopped parameters (see GSVMC.loss_and_
-        # metrics: keeps the outer grad from transposing the Hessian engine).
-        flow_sg = jax.lax.stop_gradient(flow_params)
-        _, grad_logp, lap_logp = y_grad_laplacian(
-            lambda xs, idx: self.log_prob(flow_sg, xs, idx), x, state_idx,
-            chunk_size=self.laplacian_chunk,
-        )
-        kinetic = -0.25 * lap_logp - 0.125 * jnp.sum(grad_logp**2, axis=(-2, -1))
-        eloc = jax.lax.stop_gradient(kinetic + self.potential(x))
-        # Differentiable conditional log-likelihood for the theta loss.
-        logp = self.log_prob(flow_params, x, state_idx)
+        logp = self.log_prob(params["flow"], x, state_idx)
 
         logp_states_all = jax.nn.log_softmax(logits)
         logp_states = logp_states_all[state_idx]
@@ -181,3 +199,17 @@ class BetaVMC:
             "S_analytical": S_analytical,
         }
         return loss, metrics
+
+    def loss_and_metrics(self, params, state_idx: jax.Array, x: jax.Array):
+        """Combined surrogate loss (phi + theta terms act on disjoint params)
+        and the full metric set (E, F, S, S_analytical + stds)."""
+        # Local energy under fully stopped parameters (see GSVMC.loss_and_
+        # metrics: keeps the outer grad from transposing the Hessian engine).
+        flow_sg = jax.lax.stop_gradient(params["flow"])
+        _, grad_logp, lap_logp = y_grad_laplacian(
+            lambda xs, idx: self.log_prob(flow_sg, xs, idx), x, state_idx,
+            chunk_size=self.laplacian_chunk,
+        )
+        kinetic = -0.25 * lap_logp - 0.125 * jnp.sum(grad_logp**2, axis=(-2, -1))
+        eloc = jax.lax.stop_gradient(kinetic + self.potential(x))
+        return self._losses_from_eloc(params, state_idx, x, eloc)

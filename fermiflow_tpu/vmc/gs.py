@@ -122,3 +122,44 @@ class GSVMC:
         E_std = jnp.std(eloc)
         loss = jnp.mean((eloc - E) * logp)
         return loss, {"E": E, "E_std": E_std}
+
+    # -- Hessian-flow path: local energy directly from base samples --
+
+    def local_energy_from_base(self, params, z: jax.Array):
+        """(x, eloc, logp) via the forward augmented flow (vmc/hessian_flow).
+
+        One forward integration of (x, logp, grad logp, Hessian) from the
+        known base samples replaces the reverse solve + 2n*dim nested-jvp
+        tangent channels of ``local_energy``.  Requires
+        ``cnf.field_tensors`` (closed-form field derivatives).
+        """
+        from fermiflow_tpu.vmc.hessian_flow import local_energy_flow
+
+        return local_energy_flow(
+            self.cnf.field_tensors,
+            lambda zs: self.basedist.log_prob(self.occ_up, self.occ_down, zs),
+            self.potential,
+            params,
+            z,
+            self.cnf.t0,
+            self.cnf.t1,
+            steps=self.cnf.steps,
+            method=self.cnf.method,
+        )
+
+    def loss_and_metrics_from_base(self, params, z: jax.Array):
+        """As ``loss_and_metrics`` but from base samples z (Hessian flow).
+
+        x = flow(z) follows |psi|^2 exactly, so the REINFORCE estimator is
+        unchanged; only the Eloc evaluation strategy differs.
+        """
+        x, eloc, _ = self.local_energy_from_base(
+            jax.lax.stop_gradient(params), z
+        )
+        x = jax.lax.stop_gradient(x)
+        eloc = jax.lax.stop_gradient(eloc)
+        logp = self.log_prob(params, x)
+        E = jnp.mean(eloc)
+        E_std = jnp.std(eloc)
+        loss = jnp.mean((eloc - E) * logp)
+        return loss, {"E": E, "E_std": E_std}
