@@ -112,6 +112,7 @@ def main():
         laplacian_chunk=512,
         lr=1e-3,  # stable training regime (1e-2 oscillates at N=6 f32)
         pallas_sampler=on_tpu,
+        pallas_local_energy=on_tpu,
         dtype="float32" if on_tpu else "float64",
     )
     model, params = _build(

@@ -85,3 +85,20 @@ def lg_hf(z):
     )(params, z)
     return z + loss * 0
 timed("value_and_grad(loss hflow)", rep(lg_hf), z0)
+
+# 7/8. fused Pallas Hessian-flow kernel (TPU; --pallas)
+if "--pallas" in sys.argv:
+    def le_pl(z):
+        x, eloc, logp = model.local_energy_from_base(params, z, backend="pallas")
+        return z + jnp.mean(eloc) * 0
+    timed("local_energy (pallas hflow)", rep(le_pl), z0)
+
+    def lg_pl(z):
+        (loss, m), g = jax.value_and_grad(
+            lambda p, zz: model.loss_and_metrics_from_base(
+                p, zz, backend="pallas"
+            ),
+            has_aux=True,
+        )(params, z)
+        return z + loss * 0
+    timed("value_and_grad(loss pallas)", rep(lg_pl), z0)

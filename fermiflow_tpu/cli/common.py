@@ -68,6 +68,8 @@ def add_flags(parser: argparse.ArgumentParser, finite_t: bool):
     parser.add_argument("--movie-walkers", type=int, default=2000)
     parser.add_argument("--no-pallas-sampler", action="store_true",
                         help="disable the fused TPU Metropolis kernel")
+    parser.add_argument("--no-pallas-local-energy", action="store_true",
+                        help="disable the fused TPU Hessian-flow kernel")
     parser.add_argument("--local-energy", type=str, default=d.local_energy,
                         choices=["auto", "hessian_flow", "nested_jvp"],
                         help="local-energy engine: forward Hessian flow "
@@ -113,6 +115,12 @@ def config_from_args(args, finite_t: bool) -> Config:
         not args.no_pallas_sampler
         and cfg.dtype == "float32"
         and cfg.ndown == 0
+        and jax.default_backend() == "tpu"
+    )
+    cfg.pallas_local_energy = (
+        not args.no_pallas_local_energy
+        and cfg.dtype == "float32"
+        and cfg.local_energy in ("auto", "hessian_flow")
         and jax.default_backend() == "tpu"
     )
     return cfg

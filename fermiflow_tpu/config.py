@@ -54,6 +54,7 @@ class Config:
 
     # numerics / runtime
     local_energy: str = "auto"  # auto | hessian_flow | nested_jvp
+    pallas_local_energy: bool = False  # fused TPU Hessian-flow kernel (f32, dim=2)
     laplacian_chunk: int | None = None  # batch chunk for the Laplacian engine
     dtype: str = "float64"  # float64 | float32 | bfloat16
     seed: int = 42

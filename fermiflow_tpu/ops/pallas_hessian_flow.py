@@ -1,0 +1,468 @@
+"""Fused Hessian-flow integrator (Pallas/TPU).
+
+The Hessian-flow local energy (``vmc/hessian_flow.py``) integrates the
+augmented state (x, logp, g = grad logp, H = grad^2 logp) along the
+generative ODE.  Under XLA the per-stage field tensors (pair MLP activations,
+(n*dim)^2 blocks) are materialized to HBM between fusions — measured ~105 ms
+at N=6 / batch 8192 / 16 dopri5 steps on one v5e chip, ~10x off the memory
+speed-of-light.  This kernel runs the ENTIRE fixed-grid integration inside
+one ``pallas_call``:
+
+  * the augmented state lives in VMEM for the whole solve, laid out as
+    coordinate-major rows over a walker-lane axis: x (d, B), g (d, B),
+    H (d*d, B), logp (1, B), with d = n*dim;
+  * the eta/mu MLPs and their first three derivatives are evaluated with an
+    in-register loop over hidden units on an (npairs, B) block — the four
+    derivative orders come from one sigmoid via the polynomial identities
+    sigma' = s(1-s), sigma'' = sigma'(1-2s), sigma''' = sigma'((1-2s)^2 -
+    2 sigma'), weighted by precomputed w2 * w1^k columns (SMEM);
+  * the closed-form pair tensors (A, grad div, grad^2 div, (grad^2 v).g —
+    the same algebra as ``nn/backflow_derivs.py``, exploiting u_ji = -u_ij so
+    each unordered pair is touched once) update the per-walker blocks in
+    place;
+  * dH/dt = -S - T - (K + K^T) with K = A^T H uses H's symmetry (one matmul,
+    unrolled as row MACs over the d^3 contraction).
+
+The kernel is deterministic (no RNG), so interpret mode on CPU validates it
+exactly against the XLA engine in tests.  Spin handling matches the backflow
+field itself: the field is spin-blind (pairs over ALL particles), so one
+kernel serves both the ground-state and mixed-state (finite-T) paths — the
+state dependence enters only through the base initial conditions computed
+outside.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fermiflow_tpu.ode.integrators import TABLEAUS
+
+__all__ = ["hessian_flow_pallas", "hessian_flow_pallas_sharded"]
+
+
+def _sigmoid(z):
+    return 1.0 / (1.0 + jnp.exp(-z))
+
+
+def _mlp4_block(r_blk, w1_ref, b1_ref, w2k_ref, hidden):
+    """(value, d1, d2, d3) of the scalar MLP on an (P, B) input block.
+
+    w1/b1: (hidden,) SMEM; w2k: (4, hidden) SMEM with w2k[k] = w2 * w1^k.
+    """
+    e0 = jnp.zeros_like(r_blk)
+    e1 = jnp.zeros_like(r_blk)
+    e2 = jnp.zeros_like(r_blk)
+    e3 = jnp.zeros_like(r_blk)
+    for j in range(hidden):
+        z = r_blk * w1_ref[j] + b1_ref[j]
+        s = _sigmoid(z)
+        s1 = s * (1.0 - s)
+        t = 1.0 - 2.0 * s
+        s2 = s1 * t
+        s3 = s1 * (t * t - 2.0 * s1)
+        e0 = e0 + s * w2k_ref[0, j]
+        e1 = e1 + s1 * w2k_ref[1, j]
+        e2 = e2 + s2 * w2k_ref[2, j]
+        e3 = e3 + s3 * w2k_ref[3, j]
+    return e0, e1, e2, e3
+
+
+def _field_rhs(x, g, H, eta_refs, mu_refs, *, n, dim, d_eta, d_mu):
+    """Augmented-system RHS from coordinate-major rows.
+
+    x, g: (d, B); H: (d*d, B).  Returns (v, dlogp, dg, dH) in the same
+    layout.  dim is specialized to 2 (the framework's physical setting).
+    """
+    assert dim == 2
+    d = n * dim
+    B = x.shape[-1]
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    npair = len(pairs)
+
+    # ---- pair geometry ----
+    u0 = [x[2 * i : 2 * i + 1] - x[2 * j : 2 * j + 1] for (i, j) in pairs]
+    u1 = [
+        x[2 * i + 1 : 2 * i + 2] - x[2 * j + 1 : 2 * j + 2] for (i, j) in pairs
+    ]
+    r_rows = [
+        jnp.sqrt(u0[p] * u0[p] + u1[p] * u1[p]) for p in range(npair)
+    ]
+    r_blk = jnp.concatenate(r_rows, axis=0)  # (npair, B)
+
+    e0b, e1b, e2b, e3b = _mlp4_block(r_blk, *eta_refs, d_eta)
+
+    # Accumulators (row lists; assembled into block arrays at the end).
+    zero = lambda: jnp.zeros((1, B), jnp.float32)
+    v = [zero() for _ in range(d)]
+    gdiv = [zero() for _ in range(d)]
+    A = [[zero() for _ in range(d)] for _ in range(d)]  # A[c][a] = dv_c/dx_a
+    S = [[zero() for _ in range(d)] for _ in range(d)]
+    T = [[zero() for _ in range(d)] for _ in range(d)]
+
+    def sym_entries(c00, c01, c11):
+        return ((0, 0, c00), (0, 1, c01), (1, 0, c01), (1, 1, c11))
+
+    for p, (i, j) in enumerate(pairs):
+        e0 = e0b[p : p + 1]
+        e1 = e1b[p : p + 1]
+        e2 = e2b[p : p + 1]
+        e3 = e3b[p : p + 1]
+        r = r_rows[p]
+        iv = 1.0 / r
+        iv2 = iv * iv
+        iv3 = iv2 * iv
+        ua, ub = u0[p], u1[p]
+        u00, u01, u11 = ua * ua, ua * ub, ub * ub
+
+        # v_i += eta*u, v_j -= eta*u
+        for b, ubv in ((0, ua), (1, ub)):
+            contrib = e0 * ubv
+            v[2 * i + b] = v[2 * i + b] + contrib
+            v[2 * j + b] = v[2 * j + b] - contrib
+
+        # A blocks: Puv = e1 uu / r + e0 I  (even in u: same for both orders).
+        c1 = e1 * iv
+        P00 = c1 * u00 + e0
+        P01 = c1 * u01
+        P11 = c1 * u11 + e0
+        for a, b, val in sym_entries(P00, P01, P11):
+            A[2 * i + a][2 * i + b] = A[2 * i + a][2 * i + b] + val
+            A[2 * j + a][2 * j + b] = A[2 * j + a][2 * j + b] + val
+            A[2 * i + a][2 * j + b] = A[2 * i + a][2 * j + b] - val
+            A[2 * j + a][2 * i + b] = A[2 * j + a][2 * i + b] - val
+
+        # grad(div): 2 phi' u / r to i, minus to j.
+        phi1 = e2 * r + (dim + 1) * e1
+        phi2 = e3 * r + (dim + 2) * e2
+        cg = 2.0 * phi1 * iv
+        for b, ubv in ((0, ua), (1, ub)):
+            contrib = cg * ubv
+            gdiv[2 * i + b] = gdiv[2 * i + b] + contrib
+            gdiv[2 * j + b] = gdiv[2 * j + b] - contrib
+
+        # grad^2(div) blocks: 2 Phi, Phi = phi'' uu/r^2 + phi'(I/r - uu/r^3).
+        cphi = 2.0 * (phi2 * iv2 - phi1 * iv3)
+        cdia = 2.0 * phi1 * iv
+        F00 = cphi * u00 + cdia
+        F01 = cphi * u01
+        F11 = cphi * u11 + cdia
+        for a, b, val in sym_entries(F00, F01, F11):
+            S[2 * i + a][2 * i + b] = S[2 * i + a][2 * i + b] + val
+            S[2 * j + a][2 * j + b] = S[2 * j + a][2 * j + b] + val
+            S[2 * i + a][2 * j + b] = S[2 * i + a][2 * j + b] - val
+            S[2 * j + a][2 * i + b] = S[2 * j + a][2 * i + b] - val
+
+        # (grad^2 v).g blocks: M = Gq(i,j) + Gq(j,i), where
+        # Gq_bc = (e1/r)(g_b u_c + g_c u_b + d_bc g.u) + (e2/r^2 - e1/r^3)(g.u) uu
+        # with g -> g_i, u -> u_ij for (i,j) and g -> g_j, u -> -u_ij for (j,i).
+        qb_c = e2 * iv2 - e1 * iv3
+        gi0, gi1 = g[2 * i : 2 * i + 1], g[2 * i + 1 : 2 * i + 2]
+        gj0, gj1 = g[2 * j : 2 * j + 1], g[2 * j + 1 : 2 * j + 2]
+        # Effective linear weight: Gq(i,j)+Gq(j,i) is linear in (g_i - g_j)
+        # contracted with +u (the (j,i) term flips both g and u signs in the
+        # odd pieces): let w = g_i - g_j.
+        w0 = gi0 - gj0
+        w1_ = gi1 - gj1
+        wu = w0 * ua + w1_ * ub
+        qa = c1  # e1 / r
+        qb = qb_c * wu
+        M00 = qa * (2.0 * w0 * ua + wu) + qb * u00
+        M01 = qa * (w0 * ub + w1_ * ua) + qb * u01
+        M11 = qa * (2.0 * w1_ * ub + wu) + qb * u11
+        for a, b, val in sym_entries(M00, M01, M11):
+            T[2 * i + a][2 * i + b] = T[2 * i + a][2 * i + b] + val
+            T[2 * j + a][2 * j + b] = T[2 * j + a][2 * j + b] + val
+            T[2 * i + a][2 * j + b] = T[2 * i + a][2 * j + b] - val
+            T[2 * j + a][2 * i + b] = T[2 * j + a][2 * i + b] - val
+
+    # ---- one-body term (mu) ----
+    if mu_refs is not None:
+        x0r = [x[2 * i : 2 * i + 1] for i in range(n)]
+        x1r = [x[2 * i + 1 : 2 * i + 2] for i in range(n)]
+        rho_rows = [
+            jnp.sqrt(x0r[i] * x0r[i] + x1r[i] * x1r[i]) for i in range(n)
+        ]
+        rho_blk = jnp.concatenate(rho_rows, axis=0)  # (n, B)
+        m0b, m1b, m2b, m3b = _mlp4_block(rho_blk, *mu_refs, d_mu)
+        for i in range(n):
+            m0 = m0b[i : i + 1]
+            m1 = m1b[i : i + 1]
+            m2 = m2b[i : i + 1]
+            m3 = m3b[i : i + 1]
+            rho = rho_rows[i]
+            iv = 1.0 / rho
+            iv2 = iv * iv
+            iv3 = iv2 * iv
+            xa, xb = x0r[i], x1r[i]
+            x00, x01, x11 = xa * xa, xa * xb, xb * xb
+
+            v[2 * i] = v[2 * i] + m0 * xa
+            v[2 * i + 1] = v[2 * i + 1] + m0 * xb
+
+            c1 = m1 * iv
+            for a, b, val in sym_entries(
+                c1 * x00 + m0, c1 * x01, c1 * x11 + m0
+            ):
+                A[2 * i + a][2 * i + b] = A[2 * i + a][2 * i + b] + val
+
+            psi1 = m2 * rho + (dim + 1) * m1
+            psi2 = m3 * rho + (dim + 2) * m2
+            cg = psi1 * iv
+            gdiv[2 * i] = gdiv[2 * i] + cg * xa
+            gdiv[2 * i + 1] = gdiv[2 * i + 1] + cg * xb
+
+            cphi = psi2 * iv2 - psi1 * iv3
+            cdia = psi1 * iv
+            for a, b, val in sym_entries(
+                cphi * x00 + cdia, cphi * x01, cphi * x11 + cdia
+            ):
+                S[2 * i + a][2 * i + b] = S[2 * i + a][2 * i + b] + val
+
+            gi0 = g[2 * i : 2 * i + 1]
+            gi1 = g[2 * i + 1 : 2 * i + 2]
+            gx = gi0 * xa + gi1 * xb
+            qb = (m2 * iv2 - m1 * iv3) * gx
+            for a, b, val in sym_entries(
+                c1 * (2.0 * gi0 * xa + gx) + qb * x00,
+                c1 * (gi0 * xb + gi1 * xa) + qb * x01,
+                c1 * (2.0 * gi1 * xb + gx) + qb * x11,
+            ):
+                T[2 * i + a][2 * i + b] = T[2 * i + a][2 * i + b] + val
+
+    # ---- assemble RHS ----
+    dlogp = jnp.zeros((1, B), jnp.float32)
+    for a in range(d):
+        dlogp = dlogp - A[a][a]
+
+    dg = [None] * d
+    for a in range(d):
+        acc = gdiv[a]
+        for c in range(d):
+            acc = acc + A[c][a] * g[c : c + 1]
+        dg[a] = -acc
+
+    # K = A^T H; dH = -S - T - (K + K^T) using H = H^T.
+    K = [[None] * d for _ in range(d)]
+    for a in range(d):
+        for b in range(d):
+            acc = None
+            for c in range(d):
+                term = A[c][a] * H[c * d + b : c * d + b + 1]
+                acc = term if acc is None else acc + term
+            K[a][b] = acc
+    dH = [None] * (d * d)
+    for a in range(d):
+        for b in range(d):
+            dH[a * d + b] = -(S[a][b] + T[a][b] + K[a][b] + K[b][a])
+
+    return (
+        jnp.concatenate(v, axis=0),
+        dlogp,
+        jnp.concatenate(dg, axis=0),
+        jnp.concatenate(dH, axis=0),
+    )
+
+
+def _hessian_flow_kernel(
+    eta_w1, eta_b1, eta_w2k, mu_w1, mu_b1, mu_w2k,
+    x_ref, logp_ref, g_ref, H_ref,
+    out_x, out_logp, out_g, out_H,
+    *, steps, h, n, dim, d_eta, d_mu, tableau_name,
+):
+    eta_refs = (eta_w1, eta_b1, eta_w2k)
+    mu_refs = None if mu_w1 is None else (mu_w1, mu_b1, mu_w2k)
+    tab = TABLEAUS[tableau_name]
+    rhs = functools.partial(
+        _field_rhs, eta_refs=eta_refs, mu_refs=mu_refs,
+        n=n, dim=dim, d_eta=d_eta, d_mu=d_mu,
+    )
+
+    def axpy(state, coefs, ks):
+        out = []
+        for comp in range(4):
+            acc = state[comp]
+            for cj, kj in zip(coefs, ks):
+                if cj != 0.0:
+                    acc = acc + (h * cj) * kj[comp]
+            out.append(acc)
+        return tuple(out)
+
+    def step(_, state):
+        ks = []
+        for i in range(tab.stages):
+            si = axpy(state, tab.a[i], ks) if i else state
+            ks.append(rhs(si[0], si[2], si[3]))
+        return axpy(state, tab.b, ks)
+
+    state = (x_ref[:], logp_ref[:], g_ref[:], H_ref[:])
+    state = jax.lax.fori_loop(0, steps, step, state)
+    out_x[:] = state[0]
+    out_logp[:] = state[1]
+    out_g[:] = state[2]
+    out_H[:] = state[3]
+
+
+def _w2k(mlp_params):
+    """Stacked (4, hidden) weight table w2 * w1^k for k = 0..3."""
+    w1 = mlp_params["w1"][0]
+    w2 = mlp_params["w2"][:, 0]
+    return jnp.stack([w2, w2 * w1, w2 * w1**2, w2 * w1**3], axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("t0", "t1", "steps", "method", "block_walkers", "interpret"),
+)
+def hessian_flow_pallas(
+    params: dict,
+    z: jax.Array,
+    y0: jax.Array,
+    g0: jax.Array,
+    H0: jax.Array,
+    t0: float,
+    t1: float,
+    steps: int = 16,
+    method: str = "dopri5",
+    block_walkers: int | None = None,
+    interpret: bool = False,
+):
+    """Fused fixed-grid integration of the augmented (x, logp, g, H) system.
+
+    Drop-in replacement for ``vmc.hessian_flow.hessian_flow`` with the
+    backflow field, float32, dim=2.  Arguments and returns match it:
+    z (B, n, dim), y0 (B,), g0 (B, nd), H0 (B, nd, nd) ->
+    (x, logp, g, H) with the same shapes.
+    """
+    B, n, dim = z.shape
+    d = n * dim
+    if block_walkers is None:
+        # One lane-tile of walkers per grid block.  Measured on v5e (N=6,
+        # batch 8192, 16 dopri5 steps): 27 ms at BW=128 vs 40 ms at 256 and
+        # 56 ms at 512 — smaller live state pipelines better, and 128 keeps
+        # scoped VMEM (~24 KiB/walker at N=6) far below the 16 MiB limit
+        # (1024 exceeds it).  Mosaic requires the lane dim be a multiple
+        # of 128, so this is also the floor.
+        block_walkers = 128
+    BW = min(B, block_walkers)
+    # Pad the walker axis to a multiple of the block (edge-replicated so the
+    # padded lanes stay finite); outputs are sliced back to B.
+    Bpad = -(-B // BW) * BW
+    if Bpad != B:
+        pad = ((0, Bpad - B),)
+        z, y0, g0, H0 = (
+            jnp.pad(a, pad + ((0, 0),) * (a.ndim - 1), mode="edge")
+            for a in (z, y0, g0, H0)
+        )
+    h = (float(t1) - float(t0)) / steps
+
+    x_cm = z.reshape(Bpad, d).T.astype(jnp.float32)
+    logp_cm = y0.astype(jnp.float32)[None, :]
+    g_cm = g0.T.astype(jnp.float32)
+    H_cm = H0.reshape(Bpad, d * d).T.astype(jnp.float32)
+
+    eta = params["eta"]
+    mu = params.get("mu")
+    d_eta = eta["w1"].shape[1]
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    weight_args = [
+        eta["w1"][0].astype(jnp.float32),
+        eta["b1"].astype(jnp.float32),
+        _w2k(eta).astype(jnp.float32),
+    ]
+    if mu is not None:
+        d_mu = mu["w1"].shape[1]
+        weight_args += [
+            mu["w1"][0].astype(jnp.float32),
+            mu["b1"].astype(jnp.float32),
+            _w2k(mu).astype(jnp.float32),
+        ]
+        weight_specs = [smem()] * 6
+        kernel = functools.partial(
+            _hessian_flow_kernel,
+            steps=steps, h=h, n=n, dim=dim, d_eta=d_eta, d_mu=d_mu,
+            tableau_name=method,
+        )
+    else:
+        d_mu = 0
+        weight_specs = [smem()] * 3
+        kernel = functools.partial(
+            lambda ew1, eb1, ew2k, *rest, **kw: _hessian_flow_kernel(
+                ew1, eb1, ew2k, None, None, None, *rest, **kw
+            ),
+            steps=steps, h=h, n=n, dim=dim, d_eta=d_eta, d_mu=d_mu,
+            tableau_name=method,
+        )
+
+    row_block = lambda rows: pl.BlockSpec(
+        (rows, BW), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    x_out, logp_out, g_out, H_out = pl.pallas_call(
+        kernel,
+        grid=(Bpad // BW,),
+        out_shape=(
+            jax.ShapeDtypeStruct((d, Bpad), jnp.float32),
+            jax.ShapeDtypeStruct((1, Bpad), jnp.float32),
+            jax.ShapeDtypeStruct((d, Bpad), jnp.float32),
+            jax.ShapeDtypeStruct((d * d, Bpad), jnp.float32),
+        ),
+        in_specs=weight_specs
+        + [row_block(d), row_block(1), row_block(d), row_block(d * d)],
+        out_specs=(
+            row_block(d),
+            row_block(1),
+            row_block(d),
+            row_block(d * d),
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(*weight_args, x_cm, logp_cm, g_cm, H_cm)
+    return (
+        x_out.T[:B].reshape(B, n, dim),
+        logp_out[0, :B],
+        g_out.T[:B],
+        H_out.T[:B].reshape(B, d, d),
+    )
+
+
+def hessian_flow_pallas_sharded(
+    mesh,
+    params: dict,
+    z: jax.Array,
+    y0: jax.Array,
+    g0: jax.Array,
+    H0: jax.Array,
+    t0: float,
+    t1: float,
+    steps: int = 16,
+    method: str = "dopri5",
+    interpret: bool = False,
+    axis: str = "walkers",
+):
+    """``hessian_flow_pallas`` over every device of a walker mesh.
+
+    One kernel launch per shard via ``jax.shard_map`` (the block-grid kernel
+    is a per-device program; GSPMD must not partition it blindly): the
+    augmented-state arrays shard on the walker axis, the MLP weights are
+    replicated, and no collectives are needed — the augmented flow is
+    independent per walker.  Mirrors the fused Metropolis wrappers above.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def local(params_l, z_l, y_l, g_l, H_l):
+        return hessian_flow_pallas(
+            params_l, z_l, y_l, g_l, H_l, t0, t1,
+            steps=steps, method=method, interpret=interpret,
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )(params, z, y0, g0, H0)

@@ -74,6 +74,18 @@ def _use_hessian_flow(cfg: Config, cnf) -> bool:
     return True
 
 
+def _le_backend(cfg: Config, model, dtype) -> str:
+    """Hessian-flow executor: the fused Pallas kernel needs float32, dim=2
+    and the backflow field (whose params pytree has an "eta" MLP)."""
+    if (
+        cfg.pallas_local_energy
+        and dtype == jnp.float32
+        and model.basedist.dim == 2
+    ):
+        return "pallas"
+    return "xla"
+
+
 def init_gs_state(model: GSVMC, params, cfg: Config, optimizer) -> TrainState:
     dtype = cfg.jnp_dtype()
     key = jax.random.PRNGKey(cfg.seed)
@@ -105,6 +117,7 @@ def make_gs_train_step(model: GSVMC, optimizer, cfg: Config, mesh=None,
         and model.ndown == 0
         and dtype == jnp.float32
     )
+    le_backend = _le_backend(cfg, model, dtype)
     orb = model.basedist.orbitals
     nx_occ = tuple(int(v) for v in orb.nx[model.occ_up])
     ny_occ = tuple(int(v) for v in orb.ny[model.occ_up])
@@ -146,8 +159,12 @@ def make_gs_train_step(model: GSVMC, optimizer, cfg: Config, mesh=None,
 
         if _use_hessian_flow(cfg, model.cnf):
             # Forward augmented flow: Eloc straight from the base samples.
+            loss_fn = lambda p, zz: model.loss_and_metrics_from_base(
+                p, zz, backend=le_backend,
+                pallas_interpret=cfg.pallas_interpret, mesh=mesh,
+            )
             (loss, metrics), grads = jax.value_and_grad(
-                model.loss_and_metrics_from_base, has_aux=True
+                loss_fn, has_aux=True
             )(state.params, z)
         else:
             x = model.cnf.generate(state.params, z)
@@ -208,6 +225,7 @@ def make_beta_train_step(model: BetaVMC, optimizer, cfg: Config, mesh=None,
     nx_tab = jnp.asarray(orb.nx)
     ny_tab = jnp.asarray(orb.ny)
     use_pallas = cfg.pallas_sampler and dtype == jnp.float32
+    le_backend = _le_backend(cfg, model, dtype)
 
     def sample_base(k_mcmc, state_idx, z0, n_steps, tau):
         if use_pallas:
@@ -257,8 +275,12 @@ def make_beta_train_step(model: BetaVMC, optimizer, cfg: Config, mesh=None,
         z = _constrain(ms.x, wshard)
 
         if _use_hessian_flow(cfg, model.cnf):
+            loss_fn = lambda p, idx, zz: model.loss_and_metrics_from_base(
+                p, idx, zz, backend=le_backend,
+                pallas_interpret=cfg.pallas_interpret, mesh=mesh,
+            )
             (loss, metrics), grads = jax.value_and_grad(
-                model.loss_and_metrics_from_base, has_aux=True
+                loss_fn, has_aux=True
             )(state.params, state_idx, z)
         else:
             x = model.cnf.generate(state.params["flow"], z)

@@ -129,7 +129,10 @@ class BetaVMC:
 
     # -- Hessian-flow path: local energy directly from base samples --
 
-    def local_energy_from_base(self, flow_params, state_idx: jax.Array, z: jax.Array):
+    def local_energy_from_base(self, flow_params, state_idx: jax.Array,
+                               z: jax.Array, backend: str = "xla",
+                               pallas_interpret: bool = False,
+                               mesh=None):
         """(x, eloc, logp) via the forward augmented flow, each walker in its
         own Slater state (see GSVMC.local_energy_from_base)."""
         from fermiflow_tpu.vmc.hessian_flow import local_energy_flow
@@ -148,12 +151,21 @@ class BetaVMC:
             steps=self.cnf.steps,
             method=self.cnf.method,
             base_args=(state_idx,),
+            backend=backend,
+            pallas_interpret=pallas_interpret,
+            mesh=mesh,
         )
 
-    def loss_and_metrics_from_base(self, params, state_idx: jax.Array, z: jax.Array):
+    def loss_and_metrics_from_base(self, params, state_idx: jax.Array,
+                                   z: jax.Array, backend: str = "xla",
+                                   pallas_interpret: bool = False,
+                                   mesh=None):
         """As ``loss_and_metrics`` but from base samples z (Hessian flow)."""
         flow_sg = jax.lax.stop_gradient(params["flow"])
-        x, eloc, _ = self.local_energy_from_base(flow_sg, state_idx, z)
+        x, eloc, _ = self.local_energy_from_base(
+            flow_sg, state_idx, z,
+            backend=backend, pallas_interpret=pallas_interpret, mesh=mesh,
+        )
         x = jax.lax.stop_gradient(x)
         eloc = jax.lax.stop_gradient(eloc)
         return self._losses_from_eloc(params, state_idx, x, eloc)

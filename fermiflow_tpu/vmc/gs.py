@@ -125,13 +125,18 @@ class GSVMC:
 
     # -- Hessian-flow path: local energy directly from base samples --
 
-    def local_energy_from_base(self, params, z: jax.Array):
+    def local_energy_from_base(self, params, z: jax.Array,
+                               backend: str = "xla",
+                               pallas_interpret: bool = False,
+                               mesh=None):
         """(x, eloc, logp) via the forward augmented flow (vmc/hessian_flow).
 
         One forward integration of (x, logp, grad logp, Hessian) from the
         known base samples replaces the reverse solve + 2n*dim nested-jvp
         tangent channels of ``local_energy``.  Requires
         ``cnf.field_tensors`` (closed-form field derivatives).
+        backend="pallas" runs the whole integration in one fused TPU kernel
+        (backflow field, float32).
         """
         from fermiflow_tpu.vmc.hessian_flow import local_energy_flow
 
@@ -145,16 +150,23 @@ class GSVMC:
             self.cnf.t1,
             steps=self.cnf.steps,
             method=self.cnf.method,
+            backend=backend,
+            pallas_interpret=pallas_interpret,
+            mesh=mesh,
         )
 
-    def loss_and_metrics_from_base(self, params, z: jax.Array):
+    def loss_and_metrics_from_base(self, params, z: jax.Array,
+                                   backend: str = "xla",
+                                   pallas_interpret: bool = False,
+                                   mesh=None):
         """As ``loss_and_metrics`` but from base samples z (Hessian flow).
 
         x = flow(z) follows |psi|^2 exactly, so the REINFORCE estimator is
         unchanged; only the Eloc evaluation strategy differs.
         """
         x, eloc, _ = self.local_energy_from_base(
-            jax.lax.stop_gradient(params), z
+            jax.lax.stop_gradient(params), z,
+            backend=backend, pallas_interpret=pallas_interpret, mesh=mesh,
         )
         x = jax.lax.stop_gradient(x)
         eloc = jax.lax.stop_gradient(eloc)

@@ -130,6 +130,9 @@ def local_energy_flow(
     steps: int = 16,
     method: str = "dopri5",
     base_args: tuple = (),
+    backend: str = "xla",
+    pallas_interpret: bool = False,
+    mesh=None,
 ):
     """Per-walker local energies from base samples, one forward pass.
 
@@ -141,15 +144,37 @@ def local_energy_flow(
       z: (batch, n, dim) base samples (walkers in base space).
       base_args: per-walker extras for the base density (e.g. the
         finite-temperature state index), each with a leading batch axis.
+      backend: "xla" (generic field_tensors) or "pallas" (fused TPU kernel
+        for the backflow field, float32/dim=2 —
+        ops/pallas_hessian_flow.py); pallas_interpret runs the kernel in
+        the TPU interpreter for CPU tests.
 
     Returns:
       (x, eloc, logp): generated positions, local energies and log p(x),
       shapes (batch, n, dim), (batch,), (batch,).
     """
     y0, g0, H0 = base_val_grad_hess(base_logp_single, z, *base_args)
-    x, logp, g, H = hessian_flow(
-        field_tensors, params, z, y0, g0, H0, t0, t1, steps=steps, method=method
-    )
+    if backend == "pallas":
+        from fermiflow_tpu.ops.pallas_hessian_flow import (
+            hessian_flow_pallas,
+            hessian_flow_pallas_sharded,
+        )
+
+        if mesh is not None:
+            x, logp, g, H = hessian_flow_pallas_sharded(
+                mesh, params, z, y0, g0, H0, t0, t1,
+                steps=steps, method=method, interpret=pallas_interpret,
+            )
+        else:
+            x, logp, g, H = hessian_flow_pallas(
+                params, z, y0, g0, H0, t0, t1, steps=steps, method=method,
+                interpret=pallas_interpret,
+            )
+    else:
+        x, logp, g, H = hessian_flow(
+            field_tensors, params, z, y0, g0, H0, t0, t1,
+            steps=steps, method=method,
+        )
     lap = jnp.trace(H, axis1=-2, axis2=-1)
     kinetic = -0.25 * lap - 0.125 * jnp.sum(g**2, axis=-1)
     return x, kinetic + potential(x), logp

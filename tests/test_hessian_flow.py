@@ -234,3 +234,83 @@ def test_hessian_flow_matches_reverse_laplacian(rng, d_mu):
     np.testing.assert_allclose(
         np.asarray(eloc), np.asarray(kin2), rtol=2e-5, atol=2e-5
     )
+
+
+# ---- fused Pallas kernel (ops/pallas_hessian_flow.py) ----
+#
+# The kernel is deterministic (no RNG), so the TPU-flavored interpreter
+# validates the full unrolled integration on CPU.  f32 accumulation order
+# differs from the XLA engine, so both are judged against the f64 engine
+# with an f32-roundoff tolerance (measured parity: the kernel's error vs
+# the f64 oracle matches the XLA-f32 engine's to within ~2x).
+
+
+@pytest.mark.parametrize("d_mu", [8, None])
+def test_pallas_hessian_flow_matches_engine_interpret(rng, d_mu):
+    from fermiflow_tpu.ops.pallas_hessian_flow import hessian_flow_pallas
+    from fermiflow_tpu.vmc.hessian_flow import hessian_flow
+
+    orb = HO2D()
+    bd = FreeFermion(orb)
+    occ = np.arange(3, dtype=np.int32)
+    k1, k2 = jax.random.split(rng)
+    params64 = backflow_init_gaussian(k1, 8, d_mu, std=0.3)
+    params32 = jax.tree.map(
+        lambda a: None if a is None else a.astype(jnp.float32), params64
+    )
+    z64 = jax.random.normal(k2, (64, 3, 2))
+    y64, g64, H64 = base_val_grad_hess(
+        lambda zs: bd.log_prob(occ, (), zs), z64
+    )
+
+    ref = hessian_flow(
+        backflow_field_tensors, params64, z64, y64, g64, H64,
+        0.0, 1.0, steps=4, method="rk4",
+    )
+    pal = hessian_flow_pallas(
+        params32,
+        z64.astype(jnp.float32),
+        y64.astype(jnp.float32),
+        g64.astype(jnp.float32),
+        H64.astype(jnp.float32),
+        0.0, 1.0, steps=4, method="rk4", interpret=True,
+    )
+    for name, r, p in zip(("x", "logp", "g", "H"), ref, pal):
+        err = float(jnp.max(jnp.abs(np.asarray(r, np.float64) - np.asarray(p, np.float64))))
+        scale = float(jnp.max(jnp.abs(r)))
+        assert err < 1e-4 * scale + 1e-5, (name, err, scale)
+
+
+def test_pallas_hessian_flow_sharded_matches_single(rng):
+    from fermiflow_tpu.ops.pallas_hessian_flow import (
+        hessian_flow_pallas,
+        hessian_flow_pallas_sharded,
+    )
+    from fermiflow_tpu.parallel import make_walker_mesh
+
+    orb = HO2D()
+    bd = FreeFermion(orb)
+    occ = np.arange(3, dtype=np.int32)
+    k1, k2 = jax.random.split(rng)
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.float32),
+        backflow_init_gaussian(k1, 8, 8, std=0.3),
+    )
+    z = jax.random.normal(k2, (64, 3, 2)).astype(jnp.float32)
+    y0, g0, H0 = base_val_grad_hess(
+        lambda zs: bd.log_prob(occ, (), zs.astype(jnp.float64)), z
+    )
+    y0, g0, H0 = (a.astype(jnp.float32) for a in (y0, g0, H0))
+
+    mesh = make_walker_mesh(jax.devices("cpu"))
+    single = hessian_flow_pallas(
+        params, z, y0, g0, H0, 0.0, 1.0, steps=2, method="rk4", interpret=True
+    )
+    sharded = hessian_flow_pallas_sharded(
+        mesh, params, z, y0, g0, H0, 0.0, 1.0, steps=2, method="rk4",
+        interpret=True,
+    )
+    for name, a, b in zip(("x", "logp", "g", "H"), single, sharded):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=1e-6, err_msg=name
+        )
