@@ -21,6 +21,6 @@ Reference parity map lives in SURVEY.md; each module cites the reference
 file:line it provides the capability of.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from fermiflow_tpu import physics, nn, ode, flow, vmc, parallel, utils  # noqa: F401

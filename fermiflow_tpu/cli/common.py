@@ -47,7 +47,7 @@ def add_flags(parser: argparse.ArgumentParser, finite_t: bool):
     parser.add_argument("--ode-steps", type=int, default=d.ode_steps)
     parser.add_argument("--ode-method", type=str, default=d.ode_method)
     parser.add_argument("--dtype", type=str, default=d.dtype,
-                        choices=["float64", "float32", "bfloat16"])
+                        choices=["float64", "float32"])
     parser.add_argument("--seed", type=int, default=d.seed)
     parser.add_argument("--equilibrium-steps", type=int,
                         default=d.equilibrium_steps)

@@ -56,7 +56,7 @@ class Config:
     local_energy: str = "auto"  # auto | hessian_flow | nested_jvp
     pallas_local_energy: bool = False  # fused TPU Hessian-flow kernel (f32, dim=2)
     laplacian_chunk: int | None = None  # batch chunk for the Laplacian engine
-    dtype: str = "float64"  # float64 | float32 | bfloat16
+    dtype: str = "float64"  # float64 | float32 (bf16 rejected, see jnp_dtype)
     seed: int = 42
     checkpoint_every: int = 100
     checkpoint_dir: str | None = None
@@ -65,8 +65,15 @@ class Config:
     def jnp_dtype(self):
         import jax.numpy as jnp
 
-        return {"float64": jnp.float64, "float32": jnp.float32,
-                "bfloat16": jnp.bfloat16}[self.dtype]
+        if self.dtype == "bfloat16":
+            raise ValueError(
+                "dtype='bfloat16' is not supported: the unrolled-GE "
+                "determinant and the 2nd/3rd-order derivative chains lose "
+                "all signal below float32 (the f32 TPU path already pins "
+                "matmul precision HIGHEST at the critical sites). Use "
+                "float32 on TPU or float64 on CPU."
+            )
+        return {"float64": jnp.float64, "float32": jnp.float32}[self.dtype]
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

@@ -10,6 +10,7 @@ bit-exactly including its sampler state.
 
 from __future__ import annotations
 
+import json
 import os
 
 import jax
@@ -18,6 +19,18 @@ import numpy as np
 
 def _to_numpy_tree(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def _fingerprint(tree) -> str:
+    """Structure fingerprint for the npz fallback: treedef string plus leaf
+    shapes/dtypes, so a restore into a different TrainState layout fails
+    loudly instead of silently permuting leaves."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    return json.dumps({
+        "treedef": str(treedef),
+        "leaves": [[list(np.shape(l)), str(np.asarray(l).dtype)]
+                   for l in leaves],
+    })
 
 
 def save_checkpoint(directory: str, step: int, state) -> str:
@@ -30,10 +43,13 @@ def save_checkpoint(directory: str, step: int, state) -> str:
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(os.path.abspath(path), _to_numpy_tree(state), force=True)
     except Exception:
-        # Fallback: flat npz of leaves (structure from the live state at
-        # restore time).
-        leaves, _ = jax.tree_util.tree_flatten(_to_numpy_tree(state))
-        np.savez(path + ".npz", *leaves)
+        # Fallback: npz of explicitly numbered leaves + a structure
+        # fingerprint checked at restore time.
+        np_state = _to_numpy_tree(state)
+        leaves, _ = jax.tree_util.tree_flatten(np_state)
+        named = {f"leaf_{i:05d}": l for i, l in enumerate(leaves)}
+        named["__fingerprint__"] = np.asarray(_fingerprint(np_state))
+        np.savez(path + ".npz", **named)
     return path
 
 
@@ -55,7 +71,19 @@ def restore_checkpoint(directory: str, state_like):
     treedef = jax.tree_util.tree_structure(state_like)
     if latest.endswith(".npz"):
         data = np.load(path)
-        leaves = [data[k] for k in data.files]
+        if "__fingerprint__" in data.files:
+            want = _fingerprint(_to_numpy_tree(state_like))
+            got = str(data["__fingerprint__"])
+            if json.loads(got) != json.loads(want):
+                raise ValueError(
+                    f"checkpoint structure mismatch at {path}: the saved "
+                    f"TrainState layout does not match the one being "
+                    f"restored into.\n saved: {got}\n  live: {want}"
+                )
+            keys = sorted(k for k in data.files if k.startswith("leaf_"))
+            leaves = [data[k] for k in keys]
+        else:  # legacy positional npz (pre-fingerprint)
+            leaves = [data[k] for k in data.files]
         return jax.tree_util.tree_unflatten(treedef, leaves), step
     import orbax.checkpoint as ocp
 

@@ -112,8 +112,13 @@ class GSVMC:
         The local energy is evaluated with fully stopped parameters so the
         outer parameter gradient never transposes through the (chunked)
         Hessian machinery — only the cheap batched ``log_prob`` below carries
-        parameter gradients.  Its primal duplicates the reverse-ODE solve
-        already inside ``local_energy``; XLA CSE merges them under jit.
+        parameter gradients.  Its primal re-solves the reverse ODE already
+        integrated inside ``local_energy``; measured cost (XLA cost_analysis,
+        pinned by tests/test_vmc.py::test_loss_flops_not_worse_than_unshared):
+        compiled FLOPs of value_and_grad(loss) stay below the fully-unshared
+        sum local_energy + value_and_grad(logp), i.e. XLA CSE recovers part
+        of the duplication and the residual overhead is ~15% of the engine
+        cost (the 2n·dim tangent channels dominate).
         """
         eloc, _ = self.local_energy(jax.lax.stop_gradient(params), x)
         eloc = jax.lax.stop_gradient(eloc)

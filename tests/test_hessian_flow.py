@@ -281,6 +281,47 @@ def test_pallas_hessian_flow_matches_engine_interpret(rng, d_mu):
         assert err < 1e-4 * scale + 1e-5, (name, err, scale)
 
 
+@pytest.mark.parametrize("method", ["rk4", "dopri5"])
+def test_pallas_hessian_flow_error_comparable_to_xla_f32(rng, method):
+    """The kernel's f32 error vs the f64 oracle must stay within ~3x of the
+    XLA-f32 engine's error — i.e. the Pallas accumulation order loses no
+    meaningful precision (both integrators, both methods)."""
+    from fermiflow_tpu.ops.pallas_hessian_flow import hessian_flow_pallas
+    from fermiflow_tpu.vmc.hessian_flow import hessian_flow
+
+    orb = HO2D()
+    bd = FreeFermion(orb)
+    occ = np.arange(3, dtype=np.int32)
+    k1, k2 = jax.random.split(rng)
+    params64 = backflow_init_gaussian(k1, 8, 8, std=0.3)
+    params32 = jax.tree.map(lambda a: a.astype(jnp.float32), params64)
+    z64 = jax.random.normal(k2, (64, 3, 2))
+    z32 = z64.astype(jnp.float32)
+    y64, g64, H64 = base_val_grad_hess(lambda zs: bd.log_prob(occ, (), zs), z64)
+    y32, g32, H32 = (a.astype(jnp.float32) for a in (y64, g64, H64))
+
+    ref = hessian_flow(
+        backflow_field_tensors, params64, z64, y64, g64, H64,
+        0.0, 1.0, steps=8, method=method,
+    )
+    xla32 = hessian_flow(
+        backflow_field_tensors, params32, z32, y32, g32, H32,
+        0.0, 1.0, steps=8, method=method,
+    )
+    pal32 = hessian_flow_pallas(
+        params32, z32, y32, g32, H32,
+        0.0, 1.0, steps=8, method=method, interpret=True,
+    )
+    for name, r, a, b in zip(("x", "logp", "g", "H"), ref, xla32, pal32):
+        err_xla = float(jnp.max(jnp.abs(
+            np.asarray(r, np.float64) - np.asarray(a, np.float64))))
+        err_pal = float(jnp.max(jnp.abs(
+            np.asarray(r, np.float64) - np.asarray(b, np.float64))))
+        scale = float(jnp.max(jnp.abs(r)))
+        assert err_pal < max(3.0 * err_xla, 1e-5 * scale + 1e-6), (
+            method, name, err_xla, err_pal)
+
+
 def test_pallas_hessian_flow_sharded_matches_single(rng):
     from fermiflow_tpu.ops.pallas_hessian_flow import (
         hessian_flow_pallas,

@@ -151,3 +151,29 @@ def test_metrics_logger(tmp_path):
     lines = [json.loads(l) for l in open(p)]
     assert lines[0]["E"] == 5.0
     assert "hours_per_100_iters" in lines[1]
+
+
+def test_checkpoint_npz_fallback_fingerprint(tmp_path):
+    """The npz fallback (no orbax) must round-trip via explicitly numbered
+    leaves and refuse to restore into a mismatched TrainState layout."""
+    import sys
+    import unittest.mock as mock
+
+    import pytest
+
+    from fermiflow_tpu.utils import checkpointing as ck
+
+    state = {"a": np.arange(6.0).reshape(2, 3),
+             "b": {"c": np.ones(4, np.int32)}}
+    with mock.patch.dict(sys.modules, {"orbax.checkpoint": None,
+                                       "orbax": None}):
+        ck.save_checkpoint(str(tmp_path), 7, state)
+    like = {"a": np.zeros((2, 3)), "b": {"c": np.zeros(4, np.int32)}}
+    restored, step = ck.restore_checkpoint(str(tmp_path), like)
+    assert step == 7
+    np.testing.assert_array_equal(restored["a"], state["a"])
+    np.testing.assert_array_equal(restored["b"]["c"], state["b"]["c"])
+
+    bad = {"a": np.zeros((3, 2)), "b": {"c": np.zeros(4, np.int32)}}
+    with pytest.raises(ValueError, match="structure mismatch"):
+        ck.restore_checkpoint(str(tmp_path), bad)

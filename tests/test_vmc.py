@@ -176,3 +176,31 @@ def test_gs_unpolarized_two_spin_sectors(rng):
     eloc, _ = jax.jit(model.local_energy)(params, x)
     # E0 = (1+2) up + (1) down = 4
     np.testing.assert_allclose(np.asarray(eloc), 4.0, atol=1e-8)
+
+
+def test_loss_flops_not_worse_than_unshared(rng):
+    """CSE regression guard for GSVMC.loss_and_metrics (nested-jvp engine).
+
+    The differentiable log_prob re-solves the reverse ODE that local_energy
+    already integrates; XLA must recover at least part of that duplication,
+    so the compiled FLOPs of value_and_grad(loss) are pinned strictly below
+    the fully-unshared sum of its two pieces (measured margin ~2%; a CSE
+    miss would push it to the sum or above)."""
+    model = make_gs(nup=3, Z=0.5, steps=4)
+    params = backflow_init_zeros(8, 8)
+    x = jax.random.normal(rng, (32, 3, 2))
+
+    def flops(fn, *args):
+        c = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(c, list):
+            c = c[0]
+        return float(c["flops"])
+
+    f_loss = flops(jax.value_and_grad(model.loss_and_metrics, has_aux=True),
+                   params, x)
+    f_le = flops(model.local_energy, params, x)
+    f_lp = flops(jax.value_and_grad(
+        lambda p, xx: jnp.mean(model.log_prob(p, xx))), params, x)
+    assert f_loss < f_le + f_lp, (f_loss, f_le, f_lp)
+    # And the surrogate machinery must stay a small overhead on the engine.
+    assert f_loss < 1.25 * f_le, (f_loss, f_le)
