@@ -80,6 +80,36 @@ def add_flags(parser: argparse.ArgumentParser, finite_t: bool):
                              "into this directory")
     parser.add_argument("--debug-nans", action="store_true",
                         help="enable jax_debug_nans (numerical sanitizer)")
+    # Multi-host bring-up (jax.distributed); on a pod slice every host runs
+    # the same command with its own --process-id.  --batch stays the GLOBAL
+    # walker count; each process materializes only its shard.
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="coordinator address host:port for "
+                             "jax.distributed.initialize (multi-host)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
+
+
+def maybe_init_distributed(args) -> bool:
+    """Initialize the multi-process runtime (before any jax computation) and
+    return whether this process is the primary (rank 0) one.
+
+    Multi-process runs imply walker sharding over the global device mesh, so
+    ``--shard`` is forced on.
+    """
+    from fermiflow_tpu.parallel.mesh import init_distributed
+
+    multi = init_distributed(
+        args.coordinator, args.num_processes, args.process_id
+    )
+    if multi:
+        args.shard = True
+        print(
+            f"jax.distributed: process {jax.process_index()}/"
+            f"{jax.process_count()}, {jax.local_device_count()} local / "
+            f"{jax.device_count()} global devices"
+        )
+    return jax.process_index() == 0
 
 
 def config_from_args(args, finite_t: bool) -> Config:

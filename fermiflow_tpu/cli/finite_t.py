@@ -31,6 +31,7 @@ def main(argv=None):
     )
     common.add_flags(parser, finite_t=True)
     args = parser.parse_args(argv)
+    primary = common.maybe_init_distributed(args)
     cfg = common.config_from_args(args, finite_t=True)
     common.setup_precision(cfg, debug_nans=args.debug_nans)
 
@@ -39,28 +40,30 @@ def main(argv=None):
     mesh = make_walker_mesh() if args.shard else None
 
     state = init_beta_state(model, params, cfg, optimizer)
-    start_step = 0
-    if cfg.checkpoint_dir:
-        state, start_step = restore_checkpoint(cfg.checkpoint_dir, state)
     if mesh is not None:
         state = state._replace(
             walkers=shard_walkers(mesh, state.walkers),
             tau=shard_walkers(mesh, state.tau),
         )
+    start_step = 0
+    if cfg.checkpoint_dir:
+        state, start_step = restore_checkpoint(cfg.checkpoint_dir, state)
 
     step_fn = make_beta_train_step(model, optimizer, cfg, mesh=mesh)
-    logger = MetricsLogger(cfg.metrics_path)
+    logger = MetricsLogger(cfg.metrics_path if primary else None)
 
-    print(
-        f"beta = {cfg.beta:.1f}, nup = {cfg.nup}, ndown = {cfg.ndown}, "
-        f"Z = {cfg.Z:.1f}"
-    )
-    print(f"deltaE = {cfg.deltaE:.1f}, total number of states = {model.Nstates}")
-    print(
-        "State probabilities initialized with "
-        + ("Boltzmann distribution." if cfg.boltzmann else "random Gaussian.")
-    )
-    print(f"batch = {cfg.batch}, iternum = {cfg.iternum}.")
+    if primary:
+        print(
+            f"beta = {cfg.beta:.1f}, nup = {cfg.nup}, ndown = {cfg.ndown}, "
+            f"Z = {cfg.Z:.1f}"
+        )
+        print(f"deltaE = {cfg.deltaE:.1f}, "
+              f"total number of states = {model.Nstates}")
+        print(
+            "State probabilities initialized with "
+            + ("Boltzmann distribution." if cfg.boltzmann else "random Gaussian.")
+        )
+        print(f"batch = {cfg.batch}, iternum = {cfg.iternum}.")
 
     profiling = None
     for i in range(start_step + 1, cfg.iternum + 1):
@@ -75,14 +78,15 @@ def main(argv=None):
             _np.asarray(metrics["E"])  # flush device work into the trace
             profiling.__exit__(None, None, None)
             profiling = None
-        print(
-            f"iter: {i:03d} F: {rec['F']} F_std: {rec['F_std']} "
-            f"E: {rec['E']} E_std: {rec['E_std']} "
-            f"S: {rec['S']} S_analytical: {rec['S_analytical']} "
-            f"accept: {rec['accept_rate']:.3f} "
-            f"Instant speed (hours per 100 iters): "
-            f"{rec.get('hours_per_100_iters', float('nan'))}"
-        )
+        if primary:
+            print(
+                f"iter: {i:03d} F: {rec['F']} F_std: {rec['F_std']} "
+                f"E: {rec['E']} E_std: {rec['E_std']} "
+                f"S: {rec['S']} S_analytical: {rec['S_analytical']} "
+                f"accept: {rec['accept_rate']:.3f} "
+                f"Instant speed (hours per 100 iters): "
+                f"{rec.get('hours_per_100_iters', float('nan'))}"
+            )
         if cfg.checkpoint_dir and i % cfg.checkpoint_every == 0:
             save_checkpoint(cfg.checkpoint_dir, i, state)
 

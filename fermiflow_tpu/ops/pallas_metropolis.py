@@ -6,8 +6,10 @@ version already replaces the reference's host loop, but still pays per-step
 HLO op overhead and threefry RNG.  This kernel runs the ENTIRE chain inside
 one ``pallas_call``:
 
-  * walkers live in VMEM for the whole chain, laid out coordinate-major
-    ``(n*dim, B)`` so the batch rides the 128-wide vector lanes;
+  * walkers live in VMEM for the whole chain, laid out SUBLANE-MAJOR: every
+    per-walker scalar quantity is an (8, B/8) tile, so the 8x128 vector
+    registers are fully occupied (the v1 layout used (1, B) rows, which fill
+    only 1 of 8 sublanes — measured 5.5x slower end to end);
   * proposals come from the on-core PRNG (``pltpu.prng_random_bits``) via
     Box–Muller — no threefry tensor traffic;
   * the Slater log-density (normalized Hermite recurrence + unrolled pivoted
@@ -18,9 +20,13 @@ one ``pallas_call``:
 Two variants: the spin-polarized single-state case (ground-state sampler,
 static occupations unrolled into the kernel) and the mixed-state case
 (finite-temperature sampler: each walker carries its own orbital occupation,
-streamed into VMEM as per-walker quantum-number arrays and resolved with
+streamed into VMEM as per-walker quantum-number tiles and resolved with
 masked sums over the Hermite table).  The generic scan sampler remains the
 reference implementation and the fallback for CPUs and f64.
+
+Roofline accounting lives in ``bench.py`` (hand-counted FLOPs per
+walker-step; the kernel is VPU-compute-bound — HBM traffic is one read +
+one write of the walker state per CHAIN, not per step).
 """
 
 from __future__ import annotations
@@ -42,6 +48,23 @@ __all__ = [
 ]
 
 _TWO_PI = 2.0 * math.pi
+_SUB = 8  # f32 sublane count; every per-walker quantity is an (8, B/8) tile
+
+
+def _pick_block(B: int, cap: int = 2048) -> int:
+    """Walkers per grid program.
+
+    Mosaic requires lane-axis blocks divisible by 128 (-> BW a multiple of
+    8*128 = 1024 walkers) unless the block spans the full array.  The fully
+    unrolled chain body keeps O(n^2 + n*K) live tiles, so very large batches
+    must be split to stay inside the 16M VMEM budget; each grid program runs
+    the complete chain for its walker block."""
+    if B % 8:
+        raise ValueError(f"batch {B} must be a multiple of 8")
+    for bw in range(cap - cap % 1024, 0, -1024):
+        if B % bw == 0:
+            return bw
+    return B  # single full-array block (lane dim = B/8, any size)
 
 
 def _uniform01(shape):
@@ -56,217 +79,33 @@ def _uniform01(shape):
     return jnp.maximum(u, 1e-12)
 
 
-def _normals(shape):
-    """Standard normals via Box–Muller; shape[0] must be even."""
-    half = (shape[0] // 2,) + shape[1:]
+def _normals_tiles(d: int, tile_shape):
+    """d standard-normal (8, L) tiles via Box–Muller, generated as one
+    (8*d, L) block so the transcendentals run on full-width vectors."""
+    sub, L = tile_shape
+    assert sub == _SUB and d % 2 == 0
+    half = (d * _SUB // 2, L)
     u1 = _uniform01(half)
     u2 = _uniform01(half)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
-    return jnp.concatenate(
+    block = jnp.concatenate(
         [r * jnp.cos(_TWO_PI * u2), r * jnp.sin(_TWO_PI * u2)], axis=0
     )
+    return [block[_SUB * i : _SUB * (i + 1)] for i in range(d)]
 
 
-def _slater_logp(x, nx_occ, ny_occ, n, dim, num_shells):
-    """2 log|det phi_j(r_i)| for coordinate-major x (n*dim, B) -> (1, B).
-
-    nx_occ/ny_occ: static python tuples of the occupied orbitals' 1D quantum
-    numbers.  Everything unrolls over the static particle/orbital indices;
-    all per-walker values are kept as (1, B) rows — Mosaic's layout engine
-    rejects rank-1 arrays.
-    """
-    B = x.shape[-1]
-    K = num_shells
-
-    # Per-particle Hermite tables h_0..h_{K-1} and Gaussian factor.
-    pref = float(1.0 / np.sqrt(np.pi))
-    hx = []  # hx[i][k] : (1, B)
-    hy = []
-    gauss = []
-    for i in range(n):
-        xi = x[i * dim + 0 : i * dim + 1]
-        yi = x[i * dim + 1 : i * dim + 2]
-        gauss.append(pref * jnp.exp(-0.5 * (xi * xi + yi * yi)))
-
-        def hermites(c):
-            hs = [jnp.ones_like(c)]
-            if K > 1:
-                hs.append(float(np.sqrt(2.0)) * c)
-            for m in range(1, K - 1):
-                hs.append(
-                    float(np.sqrt(2.0 / (m + 1))) * c * hs[m]
-                    - float(np.sqrt(m / (m + 1.0))) * hs[m - 1]
-                )
-            return hs
-
-        hx.append(hermites(xi))
-        hy.append(hermites(yi))
-
-    # Slater matrix rows ((1, B) each): D[i][j] = gauss_i * hx_i[nx_j] * hy_i[ny_j].
-    D = [
-        [gauss[i] * hx[i][nx_occ[j]] * hy[i][ny_occ[j]] for j in range(n)]
-        for i in range(n)
-    ]
-
-    # Unrolled pivoted Gaussian elimination on the list-of-lanes matrix
-    # (same algorithm as ops/logdet.py, scalar-unrolled).
-    tiny = 1e-30
-    used = [jnp.zeros((1, B), jnp.float32) for _ in range(n)]
-    logabs = jnp.zeros((1, B), jnp.float32)
-    col_off = 0
-    for _step in range(n):
-        # Masked argmax over rows of |D[i][col_off]| — tournament of selects.
-        best_val = None
-        best_idx = None
-        for i in range(n):
-            cand = jnp.where(used[i] > 0.5, -1.0, jnp.abs(D[i][col_off]))
-            if best_val is None:
-                best_val, best_idx = cand, jnp.zeros((1, B), jnp.int32)
-            else:
-                take = cand > best_val
-                best_val = jnp.where(take, cand, best_val)
-                best_idx = jnp.where(take, i, best_idx)
-        # Gather pivot row/value with selects.
-        pivot_row = [jnp.zeros((1, B), jnp.float32) for _ in range(n)]
-        pivot_val = jnp.zeros((1, B), jnp.float32)
-        for i in range(n):
-            is_p = best_idx == i
-            pivot_val = jnp.where(is_p, D[i][col_off], pivot_val)
-            for j in range(col_off, n):
-                pivot_row[j] = jnp.where(is_p, D[i][j], pivot_row[j])
-        logabs = logabs + jnp.log(jnp.maximum(jnp.abs(pivot_val), tiny))
-        safe_p = jnp.where(jnp.abs(pivot_val) > tiny, pivot_val, 1.0)
-        for i in range(n):
-            is_p = best_idx == i
-            remaining = jnp.logical_and(used[i] < 0.5, jnp.logical_not(is_p))
-            m = jnp.where(remaining, D[i][col_off] / safe_p, 0.0)
-            for j in range(col_off + 1, n):
-                D[i][j] = D[i][j] - m * pivot_row[j]
-            used[i] = jnp.where(is_p, 1.0, used[i])
-        col_off += 1
-
-    return 2.0 * logabs
-
-
-def _metropolis_kernel(
-    seed_ref, x_ref, tau_ref, out_x_ref, out_logp_ref, out_acc_ref,
-    *, steps, n, dim, nx_occ, ny_occ, num_shells,
-):
-    # Independent stream per walker-block program.
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    d = n * dim
-    x = x_ref[:]  # (d, B)
-    B = x.shape[-1]
-    tau = tau_ref[:]  # (1, B)
-    logp = _slater_logp(x, nx_occ, ny_occ, n, dim, num_shells)  # (1, B)
-    acc = jnp.zeros((1, B), jnp.float32)
-
-    def body(_, carry):
-        x, logp, acc = carry
-        noise = _normals((d, B))
-        x_new = x + tau * noise
-        logp_new = _slater_logp(x_new, nx_occ, ny_occ, n, dim, num_shells)
-        u = _uniform01((1, B))
-        accept = u < jnp.exp(jnp.minimum(logp_new - logp, 0.0))  # (1, B)
-        x = jnp.where(accept, x_new, x)  # broadcasts over rows
-        logp = jnp.where(accept, logp_new, logp)
-        return x, logp, acc + accept.astype(jnp.float32)
-
-    x, logp, acc = jax.lax.fori_loop(0, steps, body, (x, logp, acc))
-    out_x_ref[:] = x
-    out_logp_ref[:] = logp
-    out_acc_ref[:] = acc / max(steps, 1)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("steps", "nx_occ", "ny_occ", "num_shells", "interpret")
-)
-def metropolis_free_fermion(
-    x0: jax.Array,
-    seed: jax.Array,
-    tau: jax.Array,
-    steps: int,
-    nx_occ: tuple,
-    ny_occ: tuple,
-    num_shells: int = 8,
-    interpret: bool = False,
-):
-    """Run a fused Metropolis chain on the Slater base density.
-
-    Args:
-      x0: (B, n, dim) float32 initial walker positions; B a multiple of 128.
-      seed: int32 scalar PRNG seed.
-      tau: scalar or (B,) proposal step size(s).
-      steps: number of Metropolis steps (static).
-      nx_occ, ny_occ: static tuples of the occupied orbitals' 1D quantum
-        numbers (length n).
-      num_shells: Hermite recurrence depth.
-      interpret: run in Pallas interpreter mode (CPU testing).
-
-    Returns:
-      (x, logp, accept_rate): (B, n, dim), (B,), (B,).
-    """
-    B, n, dim = x0.shape
-    d = n * dim
-    # Walker-block grid: the fully unrolled chain body keeps O(n^2 + n*K)
-    # (1, BW) rows live, so the whole batch at once blows the 16M VMEM
-    # budget; each program runs the complete chain for its block.
-    BW = min(B, 512)
-    if B % BW:
-        raise ValueError(f"batch {B} must be a multiple of {BW}")
-    x_cm = x0.reshape(B, d).T.astype(jnp.float32)  # (d, B) coordinate-major
-    tau_b = jnp.broadcast_to(jnp.asarray(tau, jnp.float32), (B,))[None, :]
-    seed_arr = jnp.asarray([seed], jnp.int32)
-
-    kernel = functools.partial(
-        _metropolis_kernel,
-        steps=steps,
-        n=n,
-        dim=dim,
-        nx_occ=tuple(nx_occ),
-        ny_occ=tuple(ny_occ),
-        num_shells=num_shells,
-    )
-    grid = (B // BW,)
-    row_block = lambda rows: pl.BlockSpec(
-        (rows, BW), lambda i: (0, i), memory_space=pltpu.VMEM
-    )
-    x_out, logp, acc = pl.pallas_call(
-        kernel,
-        grid=grid,
-        out_shape=(
-            jax.ShapeDtypeStruct((d, B), jnp.float32),
-            jax.ShapeDtypeStruct((1, B), jnp.float32),
-            jax.ShapeDtypeStruct((1, B), jnp.float32),
-        ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            row_block(d),
-            row_block(1),
-        ],
-        out_specs=(row_block(d), row_block(1), row_block(1)),
-        # TPU-flavored interpreter (plain interpret=True lacks the pltpu
-        # PRNG primitives on CPU).
-        interpret=pltpu.InterpretParams() if interpret else False,
-    )(seed_arr, x_cm, tau_b)
-    return x_out.T.reshape(B, n, dim), logp[0], acc[0]
-
-
-# ---- mixed-state (finite-temperature) variant ----
-
-
-def _hermite_tables(x, n, dim, num_shells):
+def _hermite_tables(xs, n, dim, num_shells):
     """Per-particle Hermite value lists and Gaussian prefactors.
 
-    Returns (gauss, hx, hy) with gauss[i] : (1, B) and hx[i]/hy[i] lists of
-    num_shells (1, B) rows.
+    xs: list of n*dim coordinate tiles (8, L).  Returns (gauss, hx, hy) with
+    gauss[i] an (8, L) tile and hx[i]/hy[i] lists of num_shells tiles.
     """
     pref = float(1.0 / np.sqrt(np.pi))
     K = num_shells
     gauss, hx, hy = [], [], []
     for i in range(n):
-        xi = x[i * dim + 0 : i * dim + 1]
-        yi = x[i * dim + 1 : i * dim + 2]
+        xi = xs[i * dim + 0]
+        yi = xs[i * dim + 1]
         gauss.append(pref * jnp.exp(-0.5 * (xi * xi + yi * yi)))
 
         def hermites(c):
@@ -285,26 +124,29 @@ def _hermite_tables(x, n, dim, num_shells):
     return gauss, hx, hy
 
 
-def _ge_logabsdet_rows(D, n):
-    """Unrolled pivoted GE on a list-of-(1,B)-rows matrix -> 2 log|det|."""
-    B = D[0][0].shape[-1]
+def _ge_logabsdet(D, n):
+    """Unrolled pivoted Gaussian elimination on a list-of-tiles matrix
+    (same algorithm as ops/logdet.py, scalar-unrolled) -> 2 log|det|."""
     tiny = 1e-30
-    used = [jnp.zeros((1, B), jnp.float32) for _ in range(n)]
-    logabs = jnp.zeros((1, B), jnp.float32)
+    zero = jnp.zeros_like(D[0][0])
+    used = [zero for _ in range(n)]
+    logabs = zero
     col_off = 0
     for _step in range(n):
+        # Masked argmax over rows of |D[i][col_off]| — tournament of selects.
         best_val = None
         best_idx = None
         for i in range(n):
             cand = jnp.where(used[i] > 0.5, -1.0, jnp.abs(D[i][col_off]))
             if best_val is None:
-                best_val, best_idx = cand, jnp.zeros((1, B), jnp.int32)
+                best_val, best_idx = cand, zero.astype(jnp.int32)
             else:
                 take = cand > best_val
                 best_val = jnp.where(take, cand, best_val)
                 best_idx = jnp.where(take, i, best_idx)
-        pivot_row = [jnp.zeros((1, B), jnp.float32) for _ in range(n)]
-        pivot_val = jnp.zeros((1, B), jnp.float32)
+        # Gather pivot row/value with selects.
+        pivot_row = [zero for _ in range(n)]
+        pivot_val = zero
         for i in range(n):
             is_p = best_idx == i
             pivot_val = jnp.where(is_p, D[i][col_off], pivot_val)
@@ -323,29 +165,175 @@ def _ge_logabsdet_rows(D, n):
     return 2.0 * logabs
 
 
-def _slater_logp_multistate(x, nxs, nys, n, dim, num_shells):
+def _slater_logp(xs, nx_occ, ny_occ, n, dim, num_shells):
+    """2 log|det phi_j(r_i)| from coordinate tiles -> one (8, L) tile.
+
+    nx_occ/ny_occ: static python tuples of the occupied orbitals' 1D quantum
+    numbers.  Everything unrolls over the static particle/orbital indices.
+    """
+    gauss, hx, hy = _hermite_tables(xs, n, dim, num_shells)
+    D = [
+        [gauss[i] * hx[i][nx_occ[j]] * hy[i][ny_occ[j]] for j in range(n)]
+        for i in range(n)
+    ]
+    return _ge_logabsdet(D, n)
+
+
+def _slater_logp_multistate(xs, nxs, nys, n, dim, num_shells):
     """Mixed-state log density: per-walker occupations.
 
-    x: (n*dim, B); nxs/nys: (n, B) int32 per-slot 1D quantum numbers.
-    Orbital values are resolved by masked sums over the K-entry Hermite
-    table (the in-kernel analog of the one-hot matmul build).
+    xs: n*dim coordinate tiles; nxs/nys: n int32 tiles (8, L) of per-slot 1D
+    quantum numbers.  Orbital values are resolved by masked sums over the
+    K-entry Hermite table (the in-kernel analog of the one-hot matmul build).
     """
-    gauss, hx, hy = _hermite_tables(x, n, dim, num_shells)
+    gauss, hx, hy = _hermite_tables(xs, n, dim, num_shells)
     K = num_shells
     D = []
     for i in range(n):
         row = []
         for j in range(n):
-            nxj = nxs[j : j + 1]
-            nyj = nys[j : j + 1]
             vx = jnp.zeros_like(hx[i][0])
             vy = jnp.zeros_like(hy[i][0])
             for k in range(K):
-                vx = vx + jnp.where(nxj == k, hx[i][k], 0.0)
-                vy = vy + jnp.where(nyj == k, hy[i][k], 0.0)
+                vx = vx + jnp.where(nxs[j] == k, hx[i][k], 0.0)
+                vy = vy + jnp.where(nys[j] == k, hy[i][k], 0.0)
             row.append(gauss[i] * vx * vy)
         D.append(row)
-    return _ge_logabsdet_rows(D, n)
+    return _ge_logabsdet(D, n)
+
+
+def _rows(ref, d):
+    """Split an (8*d, L) ref block into d (8, L) tiles."""
+    return [ref[_SUB * i : _SUB * (i + 1)] for i in range(d)]
+
+
+def _metropolis_kernel(
+    seed_ref, x_ref, tau_ref, out_x_ref, out_logp_ref, out_acc_ref,
+    *, steps, n, dim, nx_occ, ny_occ, num_shells,
+):
+    # Independent stream per walker-block program.
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    d = n * dim
+    xs = tuple(_rows(x_ref[:], d))  # d tiles (8, L)
+    tau = tau_ref[:]  # (8, L)
+    logp = _slater_logp(xs, nx_occ, ny_occ, n, dim, num_shells)
+    acc = jnp.zeros_like(logp)
+
+    def body(_, carry):
+        xs, logp, acc = carry
+        noise = _normals_tiles(d, xs[0].shape)
+        xs_new = tuple(x + tau * nz for x, nz in zip(xs, noise))
+        logp_new = _slater_logp(xs_new, nx_occ, ny_occ, n, dim, num_shells)
+        u = _uniform01(logp.shape)
+        accept = u < jnp.exp(jnp.minimum(logp_new - logp, 0.0))
+        xs = tuple(
+            jnp.where(accept, xn, xo) for xn, xo in zip(xs_new, xs)
+        )
+        logp = jnp.where(accept, logp_new, logp)
+        return xs, logp, acc + accept.astype(jnp.float32)
+
+    xs, logp, acc = jax.lax.fori_loop(0, steps, body, (xs, logp, acc))
+    for i in range(d):
+        out_x_ref[_SUB * i : _SUB * (i + 1)] = xs[i]
+    out_logp_ref[:] = logp
+    out_acc_ref[:] = acc / max(steps, 1)
+
+
+def _to_tiles(arr_dB: jax.Array, d: int, B: int) -> jax.Array:
+    """(d, B) -> (8*d, B/8): row i becomes the 8-sublane group [8i, 8i+8)."""
+    return arr_dB.reshape(d * _SUB, B // _SUB)
+
+
+def _from_tiles(arr: jax.Array, d: int, B: int) -> jax.Array:
+    return arr.reshape(d, B)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("steps", "nx_occ", "ny_occ", "num_shells",
+                              "interpret", "block_walkers")
+)
+def metropolis_free_fermion(
+    x0: jax.Array,
+    seed: jax.Array,
+    tau: jax.Array,
+    steps: int,
+    nx_occ: tuple,
+    ny_occ: tuple,
+    num_shells: int = 8,
+    interpret: bool = False,
+    block_walkers: int | None = None,
+):
+    """Run a fused Metropolis chain on the Slater base density.
+
+    Args:
+      x0: (B, n, dim) float32 initial walker positions; B a multiple of 8.
+      seed: int32 scalar PRNG seed.
+      tau: scalar or (B,) proposal step size(s).
+      steps: number of Metropolis steps (static).
+      nx_occ, ny_occ: static tuples of the occupied orbitals' 1D quantum
+        numbers (length n).
+      num_shells: Hermite recurrence depth.
+      interpret: run in Pallas interpreter mode (CPU testing).
+      block_walkers: walkers per grid program (default: largest divisor of B
+        up to 2048).
+
+    Returns:
+      (x, logp, accept_rate): (B, n, dim), (B,), (B,).
+    """
+    B, n, dim = x0.shape
+    d = n * dim
+    BW = block_walkers or _pick_block(B)
+    if B % BW or (BW != B and (BW // _SUB) % 128):
+        raise ValueError(
+            f"bad walker block {BW} for batch {B}: must divide B and give "
+            f"lane blocks divisible by 128 (BW % 1024 == 0) unless BW == B"
+        )
+    x_cm = _to_tiles(x0.reshape(B, d).T.astype(jnp.float32), d, B)
+    tau_b = _to_tiles(
+        jnp.broadcast_to(jnp.asarray(tau, jnp.float32), (B,))[None, :], 1, B
+    )
+    seed_arr = jnp.asarray([seed], jnp.int32)
+
+    kernel = functools.partial(
+        _metropolis_kernel,
+        steps=steps,
+        n=n,
+        dim=dim,
+        nx_occ=tuple(nx_occ),
+        ny_occ=tuple(ny_occ),
+        num_shells=num_shells,
+    )
+    grid = (B // BW,)
+    LW = BW // _SUB  # lanes per program
+    row_block = lambda rows: pl.BlockSpec(
+        (rows * _SUB, LW), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    x_out, logp, acc = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((d * _SUB, B // _SUB), jnp.float32),
+            jax.ShapeDtypeStruct((_SUB, B // _SUB), jnp.float32),
+            jax.ShapeDtypeStruct((_SUB, B // _SUB), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            row_block(d),
+            row_block(1),
+        ],
+        out_specs=(row_block(d), row_block(1), row_block(1)),
+        # TPU-flavored interpreter (plain interpret=True lacks the pltpu
+        # PRNG primitives on CPU).
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed_arr, x_cm, tau_b)
+    return (
+        _from_tiles(x_out, d, B).T.reshape(B, n, dim),
+        _from_tiles(logp, 1, B)[0],
+        _from_tiles(acc, 1, B)[0],
+    )
+
+
+# ---- mixed-state (finite-temperature) variant ----
 
 
 def _metropolis_multistate_kernel(
@@ -355,33 +343,36 @@ def _metropolis_multistate_kernel(
 ):
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     d = n * dim
-    x = x_ref[:]
-    B = x.shape[-1]
+    xs = tuple(_rows(x_ref[:], d))
     tau = tau_ref[:]
-    nxs = nx_ref[:]
-    nys = ny_ref[:]
-    logp = _slater_logp_multistate(x, nxs, nys, n, dim, num_shells)
-    acc = jnp.zeros((1, B), jnp.float32)
+    nxs = _rows(nx_ref[:], n)
+    nys = _rows(ny_ref[:], n)
+    logp = _slater_logp_multistate(xs, nxs, nys, n, dim, num_shells)
+    acc = jnp.zeros_like(logp)
 
     def body(_, carry):
-        x, logp, acc = carry
-        noise = _normals((d, B))
-        x_new = x + tau * noise
-        logp_new = _slater_logp_multistate(x_new, nxs, nys, n, dim, num_shells)
-        u = _uniform01((1, B))
+        xs, logp, acc = carry
+        noise = _normals_tiles(d, xs[0].shape)
+        xs_new = tuple(x + tau * nz for x, nz in zip(xs, noise))
+        logp_new = _slater_logp_multistate(xs_new, nxs, nys, n, dim, num_shells)
+        u = _uniform01(logp.shape)
         accept = u < jnp.exp(jnp.minimum(logp_new - logp, 0.0))
-        x = jnp.where(accept, x_new, x)
+        xs = tuple(
+            jnp.where(accept, xn, xo) for xn, xo in zip(xs_new, xs)
+        )
         logp = jnp.where(accept, logp_new, logp)
-        return x, logp, acc + accept.astype(jnp.float32)
+        return xs, logp, acc + accept.astype(jnp.float32)
 
-    x, logp, acc = jax.lax.fori_loop(0, steps, body, (x, logp, acc))
-    out_x_ref[:] = x
+    xs, logp, acc = jax.lax.fori_loop(0, steps, body, (xs, logp, acc))
+    for i in range(d):
+        out_x_ref[_SUB * i : _SUB * (i + 1)] = xs[i]
     out_logp_ref[:] = logp
     out_acc_ref[:] = acc / max(steps, 1)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("steps", "num_shells", "interpret")
+    jax.jit, static_argnames=("steps", "num_shells", "interpret",
+                              "block_walkers")
 )
 def metropolis_free_fermion_multistate(
     x0: jax.Array,
@@ -392,11 +383,12 @@ def metropolis_free_fermion_multistate(
     ny_occ: jax.Array,
     num_shells: int = 8,
     interpret: bool = False,
+    block_walkers: int | None = None,
 ):
     """Fused Metropolis chain with PER-WALKER orbital occupations.
 
     Args:
-      x0: (B, n, dim) float32 walker positions.
+      x0: (B, n, dim) float32 walker positions (B a multiple of 8).
       seed: int32 scalar.
       tau: scalar or (B,).
       steps: chain length (static).
@@ -409,29 +401,36 @@ def metropolis_free_fermion_multistate(
     """
     B, n, dim = x0.shape
     d = n * dim
-    BW = min(B, 256)  # multistate build holds more rows live than the GS case
-    if B % BW:
-        raise ValueError(f"batch {B} must be a multiple of {BW}")
-    x_cm = x0.reshape(B, d).T.astype(jnp.float32)
-    tau_b = jnp.broadcast_to(jnp.asarray(tau, jnp.float32), (B,))[None, :]
+    # The multistate build holds more live tiles than the GS case.
+    BW = block_walkers or _pick_block(B, cap=1024)
+    if B % BW or (BW != B and (BW // _SUB) % 128):
+        raise ValueError(
+            f"bad walker block {BW} for batch {B}: must divide B and give "
+            f"lane blocks divisible by 128 (BW % 1024 == 0) unless BW == B"
+        )
+    x_cm = _to_tiles(x0.reshape(B, d).T.astype(jnp.float32), d, B)
+    tau_b = _to_tiles(
+        jnp.broadcast_to(jnp.asarray(tau, jnp.float32), (B,))[None, :], 1, B
+    )
     seed_arr = jnp.asarray([seed], jnp.int32)
-    nx_cm = nx_occ.T.astype(jnp.int32)  # (n, B)
-    ny_cm = ny_occ.T.astype(jnp.int32)
+    nx_cm = _to_tiles(nx_occ.T.astype(jnp.int32), n, B)
+    ny_cm = _to_tiles(ny_occ.T.astype(jnp.int32), n, B)
 
     kernel = functools.partial(
         _metropolis_multistate_kernel,
         steps=steps, n=n, dim=dim, num_shells=num_shells,
     )
+    LW = BW // _SUB
     row_block = lambda rows: pl.BlockSpec(
-        (rows, BW), lambda i: (0, i), memory_space=pltpu.VMEM
+        (rows * _SUB, LW), lambda i: (0, i), memory_space=pltpu.VMEM
     )
     x_out, logp, acc = pl.pallas_call(
         kernel,
         grid=(B // BW,),
         out_shape=(
-            jax.ShapeDtypeStruct((d, B), jnp.float32),
-            jax.ShapeDtypeStruct((1, B), jnp.float32),
-            jax.ShapeDtypeStruct((1, B), jnp.float32),
+            jax.ShapeDtypeStruct((d * _SUB, B // _SUB), jnp.float32),
+            jax.ShapeDtypeStruct((_SUB, B // _SUB), jnp.float32),
+            jax.ShapeDtypeStruct((_SUB, B // _SUB), jnp.float32),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -443,7 +442,11 @@ def metropolis_free_fermion_multistate(
         out_specs=(row_block(d), row_block(1), row_block(1)),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seed_arr, x_cm, tau_b, nx_cm, ny_cm)
-    return x_out.T.reshape(B, n, dim), logp[0], acc[0]
+    return (
+        _from_tiles(x_out, d, B).T.reshape(B, n, dim),
+        _from_tiles(logp, 1, B)[0],
+        _from_tiles(acc, 1, B)[0],
+    )
 
 
 # ---- multi-chip wrappers (shard_map over the walker mesh) ----
@@ -480,8 +483,8 @@ def metropolis_free_fermion_sharded(
 ):
     """``metropolis_free_fermion`` over every device of a walker mesh.
 
-    x0 is (B, n, dim) with B divisible by (mesh size × kernel block); tau is a
-    scalar (replicated) or (B,) (walker-sharded).  Returns walker-sharded
+    x0 is (B, n, dim) with B divisible by (mesh size × 8); tau is a scalar
+    (replicated) or (B,) (walker-sharded).  Returns walker-sharded
     (x, logp, accept_rate).
     """
     from jax.sharding import PartitionSpec as P

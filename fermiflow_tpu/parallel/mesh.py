@@ -53,22 +53,42 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_walkers(mesh: Mesh, tree):
-    """Device-put every leaf of a walker pytree with leading-axis sharding."""
+    """Place host-global walker arrays onto the mesh with leading-axis
+    sharding.
+
+    Multi-process safe: every process holds the identical global host value
+    (deterministic seeded init) and materializes only its addressable shards,
+    so the same call works from one chip to a multi-host pod slice (where a
+    plain ``device_put`` onto a global ``NamedSharding`` would fail).
+    """
     sh = walker_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+    def place(x):
+        x = np.asarray(x)
+        dmap = sh.addressable_devices_indices_map(x.shape)
+        arrs = [jax.device_put(x[idx], d) for d, idx in dmap.items()]
+        return jax.make_array_from_single_device_arrays(x.shape, sh, arrs)
+
+    return jax.tree_util.tree_map(place, tree)
 
 
-def init_distributed(coordinator_address=None, num_processes=None, process_id=None):
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None) -> bool:
     """Multi-host bring-up wrapper around ``jax.distributed.initialize``.
 
-    On single-host runs this is a no-op; on a pod slice each host calls it
-    before any jax computation (the TPU-native replacement for the
-    NCCL/MPI/torch.distributed machinery the reference lacks).
+    On single-process runs this is a no-op; on a pod slice (or a localhost
+    multi-process test) each process calls it before any jax computation —
+    the TPU-native replacement for the NCCL/MPI/torch.distributed machinery
+    the reference lacks (SURVEY.md §2.4(f)).  Arguments left as ``None``
+    fall back to jax's env/cluster autodetection.  Returns True when a
+    multi-process runtime was initialized.
     """
-    if num_processes is None or num_processes <= 1:
-        return
+    if (num_processes is None or num_processes <= 1) and \
+            coordinator_address is None:
+        return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
     )
+    return jax.process_count() > 1

@@ -50,6 +50,46 @@ class TrainState(NamedTuple):
     step: jax.Array
     walkers: jax.Array  # (batch, n, dim) persistent base-dist chain positions
     tau: jax.Array  # (batch,) per-walker proposal scales
+    # Finite-T persistent-chain bookkeeping (None for ground state): each
+    # walker's current occupation-state index and the state probabilities it
+    # was drawn from, enabling the maximal-coupling state refresh below.
+    # (Probabilities, not logits: storing the logits themselves would alias
+    # the params buffer and break jit donation when the update is a no-op.)
+    state_idx: Any = None  # (batch,) int32
+    sample_probs: Any = None  # (Nstates,)
+
+
+def _coupled_state_refresh(key, logits_new, probs_old, state_idx_old):
+    """Refresh per-walker occupation states to the current Categorical
+    while keeping as many walkers as possible on their previous state.
+
+    Persistent finite-T chains target p(z|s); a walker whose s changes needs
+    re-equilibration, so independent resampling (the reference's scheme,
+    ``src/VMC.py:94-96``, which it can afford because it re-equilibrates from
+    scratch every iteration) would leave ~(1-sum_s p_s^2) of the chains
+    biased for a few iterations.  The maximal coupling of Categorical(p_old)
+    and Categorical(p_new) keeps s with probability min(p_new,p_old)[s]/p_old[s]
+    and redraws from the normalized residual (p_new-p_old)_+ otherwise: the
+    new marginal is EXACTLY p_new and only a TV(p_old,p_new)-fraction of
+    walkers — vanishing as the logits converge — ever switch targets.
+
+    Returns (state_idx_new, p_new, switch_fraction).
+    """
+    p_new = jax.nn.softmax(logits_new)
+    p_old = probs_old
+    pmin = jnp.minimum(p_new, p_old)
+    keep_prob = pmin[state_idx_old] / jnp.maximum(p_old[state_idx_old], 1e-30)
+    k_u, k_r = jax.random.split(key)
+    u = jax.random.uniform(k_u, state_idx_old.shape, dtype=p_new.dtype)
+    keep = u < keep_prob
+    resid = jnp.maximum(p_new - pmin, 0.0)
+    # When the distributions coincide resid is ~0 everywhere and `keep` is
+    # always True; the guard only keeps log well-defined.
+    redraw = jax.random.categorical(
+        k_r, jnp.log(resid + 1e-30), shape=state_idx_old.shape
+    ).astype(state_idx_old.dtype)
+    state_idx = jnp.where(keep, state_idx_old, redraw)
+    return state_idx, p_new, 1.0 - jnp.mean(keep.astype(p_new.dtype))
 
 
 def _constrain(tree, sharding):
@@ -203,6 +243,11 @@ def init_beta_state(model: BetaVMC, params, cfg: Config, optimizer) -> TrainStat
         jax.random.fold_in(key, 1), (cfg.batch, model.n, model.basedist.dim),
         dtype=dtype,
     )
+    logits0 = jnp.asarray(params["log_state_weights"], dtype)
+    probs0 = jax.nn.softmax(logits0)
+    state_idx0 = jax.random.categorical(
+        jax.random.fold_in(key, 2), logits0, shape=(cfg.batch,)
+    ).astype(jnp.int32)
     return TrainState(
         params=params,
         opt_state=optimizer.init(params),
@@ -210,6 +255,8 @@ def init_beta_state(model: BetaVMC, params, cfg: Config, optimizer) -> TrainStat
         step=jnp.zeros((), jnp.int32),
         walkers=walkers,
         tau=jnp.full((cfg.batch,), cfg.tau, dtype=dtype),
+        state_idx=state_idx0,
+        sample_probs=probs0,
     )
 
 
@@ -259,16 +306,23 @@ def make_beta_train_step(model: BetaVMC, optimizer, cfg: Config, mesh=None,
         key, k_state, k_init, k_mcmc = jax.random.split(state.key, 4)
 
         logits = jax.lax.stop_gradient(state.params["log_state_weights"])
-        state_idx = jax.random.categorical(k_state, logits, shape=(cfg.batch,))
-        state_idx = _constrain(state_idx, wshard)
-
+        switch_frac = jnp.zeros((), dtype)
         if cfg.persistent_walkers:
-            # Chains continue from the previous mixture — far closer to the
-            # new per-walker targets than fresh noise.
+            # Chains continue from the previous mixture; states refresh by
+            # maximal coupling so almost every chain keeps its own target
+            # density and stays equilibrated (see _coupled_state_refresh).
+            state_idx, probs, switch_frac = _coupled_state_refresh(
+                k_state, logits, state.sample_probs, state.state_idx
+            )
             z0, n_steps, tau = state.walkers, cfg.mcmc_steps, state.tau
         else:
+            state_idx = jax.random.categorical(
+                k_state, logits, shape=(cfg.batch,)
+            ).astype(jnp.int32)
+            probs = jax.nn.softmax(logits)
             z0 = jax.random.normal(k_init, state.walkers.shape, dtype=dtype)
             n_steps, tau = cfg.equilibrium_steps, jnp.asarray(cfg.tau, dtype)
+        state_idx = _constrain(state_idx, wshard)
 
         z0 = _constrain(z0, wshard)
         ms = sample_base(k_mcmc, state_idx, z0, n_steps, tau)
@@ -297,6 +351,8 @@ def make_beta_train_step(model: BetaVMC, optimizer, cfg: Config, mesh=None,
             else state.tau
         )
         metrics = dict(metrics, accept_rate=jnp.mean(ms.accept_rate), loss=loss)
+        if cfg.persistent_walkers:
+            metrics["state_switch_frac"] = switch_frac
         return (
             TrainState(
                 params=params,
@@ -305,6 +361,8 @@ def make_beta_train_step(model: BetaVMC, optimizer, cfg: Config, mesh=None,
                 step=state.step + 1,
                 walkers=z,
                 tau=jnp.broadcast_to(new_tau, state.tau.shape).astype(dtype),
+                state_idx=state_idx.astype(jnp.int32),
+                sample_probs=probs.astype(dtype),
             ),
             metrics,
         )

@@ -17,8 +17,49 @@ import jax
 import numpy as np
 
 
+def _local_numpy(x):
+    """This process's host view of a leaf.
+
+    Fully-addressable leaves (single-process, or host values) convert
+    directly.  Global multi-process arrays reduce to the process-local view:
+    replicated leaves take one shard (all addressable shards are identical),
+    walker-sharded leaves concatenate this process's unique row blocks —
+    exactly the layout ``jax.make_array_from_process_local_data`` expects at
+    restore time.
+    """
+    if not isinstance(x, jax.Array) or x.is_fully_addressable:
+        return np.asarray(x)
+    pieces = {}
+    for s in x.addressable_shards:  # dedup replicas by global index
+        pieces[tuple((sl.start, sl.stop) for sl in s.index)] = np.asarray(s.data)
+    keys = sorted(pieces.keys(), key=lambda k: (k[0][0] or 0) if k else 0)
+    return np.concatenate([pieces[k] for k in keys], axis=0) \
+        if len(keys) > 1 else pieces[keys[0]]
+
+
 def _to_numpy_tree(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    return jax.tree_util.tree_map(_local_numpy, tree)
+
+
+def _proc_dir(directory: str) -> str:
+    """Per-process checkpoint subdirectory on multi-process runs (each
+    process persists its own walker shards; replicated leaves are saved
+    redundantly, which keeps restore host-local and shared-FS-free)."""
+    if jax.process_count() > 1:
+        return os.path.join(directory, f"proc{jax.process_index():05d}")
+    return directory
+
+
+def _place_like(np_leaf, like):
+    """Re-place a restored host leaf with the sharding of the live leaf."""
+    if isinstance(like, jax.Array) and not like.is_fully_addressable:
+        return jax.make_array_from_process_local_data(
+            like.sharding, np_leaf, like.shape
+        )
+    if isinstance(like, jax.Array) and getattr(like, "sharding", None) is not None \
+            and like.committed:
+        return jax.device_put(np_leaf, like.sharding)
+    return np_leaf
 
 
 def _fingerprint(tree) -> str:
@@ -34,10 +75,18 @@ def _fingerprint(tree) -> str:
 
 
 def save_checkpoint(directory: str, step: int, state) -> str:
-    """Save a pytree train state; returns the checkpoint path."""
+    """Save a pytree train state; returns the checkpoint path.
+
+    Multi-process runs save each process's local walker shards under
+    ``directory/procNNNNN/`` (call from every process)."""
+    directory = _proc_dir(directory)
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"ckpt_{step:08d}")
     try:
+        if jax.process_count() > 1:
+            # orbax synchronizes across processes internally; per-process
+            # shard files must stay host-local -> use the npz path.
+            raise ImportError("npz path on multi-process runs")
         import orbax.checkpoint as ocp
 
         ckptr = ocp.PyTreeCheckpointer()
@@ -56,8 +105,13 @@ def save_checkpoint(directory: str, step: int, state) -> str:
 def restore_checkpoint(directory: str, state_like):
     """Restore the latest checkpoint into the structure of ``state_like``.
 
+    Leaves are re-placed with the shardings of ``state_like`` (host leaves
+    stay host numpy), so restoring into a mesh-sharded TrainState — single-
+    or multi-process — lands the walkers back on their devices.
+
     Returns (state, step) or (state_like, 0) when no checkpoint exists.
     """
+    directory = _proc_dir(directory)
     if not os.path.isdir(directory):
         return state_like, 0
     ckpts = sorted(
@@ -84,12 +138,14 @@ def restore_checkpoint(directory: str, state_like):
             leaves = [data[k] for k in keys]
         else:  # legacy positional npz (pre-fingerprint)
             leaves = [data[k] for k in data.files]
-        return jax.tree_util.tree_unflatten(treedef, leaves), step
-    import orbax.checkpoint as ocp
+    else:
+        import orbax.checkpoint as ocp
 
-    ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore(
-        os.path.abspath(path), item=_to_numpy_tree(state_like)
-    )
-    leaves = jax.tree_util.tree_leaves(restored)
+        ckptr = ocp.PyTreeCheckpointer()
+        restored = ckptr.restore(
+            os.path.abspath(path), item=_to_numpy_tree(state_like)
+        )
+        leaves = jax.tree_util.tree_leaves(restored)
+    like_leaves = jax.tree_util.tree_leaves(state_like)
+    leaves = [_place_like(l, like) for l, like in zip(leaves, like_leaves)]
     return jax.tree_util.tree_unflatten(treedef, leaves), step

@@ -177,3 +177,67 @@ def test_checkpoint_npz_fallback_fingerprint(tmp_path):
     bad = {"a": np.zeros((3, 2)), "b": {"c": np.zeros(4, np.int32)}}
     with pytest.raises(ValueError, match="structure mismatch"):
         ck.restore_checkpoint(str(tmp_path), bad)
+
+
+def _per_state_virial_errors(state, model):
+    """Per-state <r^2/2> vs the exact E_s/2 (virial theorem for HO
+    eigenstates at identity flow), in units of the per-state MC sem."""
+    r2 = 0.5 * np.sum(np.asarray(state.walkers) ** 2, axis=(-2, -1))
+    idx = np.asarray(state.state_idx)
+    Es = np.asarray(model.Es_original)
+    errs = []
+    for s in np.unique(idx):
+        vals = r2[idx == s]
+        if len(vals) < 50:
+            continue
+        sem = vals.std() / np.sqrt(len(vals))
+        errs.append((float(abs(vals.mean() - Es[s] / 2.0)), float(sem)))
+    assert len(errs) >= 3  # several states actually populated
+    return errs
+
+
+def test_beta_persistent_sampling_unbiased():
+    """Persistent finite-T chains: with the maximal-coupling state refresh,
+    frozen logits keep every chain on its own state target, so after burn-in
+    the per-state positional moments must match the exact HO virial values
+    (<r^2/2> = E_s/2) within MC error — the distributional gate VERDICT r1
+    asked for.  Under drifting logits only a TV-sized fraction of chains
+    switches and the moments must stay unbiased."""
+    cfg = small_gs_cfg(batch=2048, mcmc_steps=10, persistent_walkers=True)
+    cfg.beta, cfg.deltaE, cfg.boltzmann = 1.0, 2.0, True
+    model, params = common.build_beta(cfg)
+    # host copy before the first (buffer-donating) step call
+    p = np.exp(np.asarray(jax.nn.log_softmax(params["log_state_weights"])))
+    opt = optax.sgd(0.0)  # frozen params: pure sampling dynamics
+    state = init_beta_state(model, params, cfg, opt)
+    step = make_beta_train_step(model, opt, cfg)
+
+    for _ in range(30):  # burn-in: 300 Metropolis steps per chain
+        state, metrics = step(state)
+    # Frozen logits => the coupling never switches a chain's state.
+    assert float(metrics["state_switch_frac"]) == 0.0
+
+    # Marginal state occupation matches softmax(logits).
+    counts = np.bincount(np.asarray(state.state_idx),
+                         minlength=model.Nstates) / cfg.batch
+    np.testing.assert_allclose(counts, p, atol=4 * np.sqrt(p.max() / cfg.batch))
+
+    for err, sem in _per_state_virial_errors(state, model):
+        assert err < 4 * sem + 0.02, (err, sem)
+
+    # Drifting logits (simulated training): moments stay unbiased and the
+    # switch fraction stays at the TV-distance scale.
+    sw = []
+    for k in range(15):
+        new_params = dict(state.params)
+        new_params["log_state_weights"] = (
+            state.params["log_state_weights"]
+            + 0.05 * jax.random.normal(jax.random.PRNGKey(k),
+                                       (model.Nstates,))
+        )
+        state = state._replace(params=new_params)
+        state, metrics = step(state)
+        sw.append(float(metrics["state_switch_frac"]))
+    assert 0.0 < np.mean(sw) < 0.1, sw
+    for err, sem in _per_state_virial_errors(state, model):
+        assert err < 4 * sem + 0.05, (err, sem)
