@@ -1,21 +1,31 @@
-"""Benchmark: MCMC walker throughput + full VMC train-step time on one chip.
+"""Benchmark: sampler throughput + full VMC train-step time on one chip.
 
 Prints ONE JSON line:
   {"metric": "walker_steps_per_s_per_chip", "value": N, "unit": "walker-steps/s",
    "vs_baseline": R, ...extras}
 
 Headline metric (BASELINE.json): Metropolis walker-steps/s/chip at N=6 —
-batch x equilibration-steps per wall-second for the Slater base-density
-sampler, the sampling hot loop of every training iteration (reference
+batch x chain-steps per wall-second for the Slater base-density sampler, the
+sampling hot loop of every training iteration (reference
 ``src/base_dist.py:58-71``: 100 steps/iteration at batch 8000).
 
 vs_baseline: ratio against the reference implementation (torch, float64)
 measured on this machine's CPU for the identical workload (62,500
 walker-steps/s at N=6; the reference repo publishes no GPU numbers —
-BASELINE.md).  Extras report the full train-step time (sample + local energy
-+ gradient + Adam) which has no reference counterpart measurable here
-(torchdiffeq is not installed and the reference's scipy path is
-host-sequential).
+BASELINE.md).
+
+Extras:
+  * marginal/sustained split + fixed program-dispatch overhead (the tunnel
+    costs ~30 ms per jit program launch on this host; inside a program the
+    marginal chain cost at batch 8192 is ~0.4 ms per 100 steps);
+  * mixed-state (finite-T) sampler throughput;
+  * GS and finite-T full train-step times (sample + local energy + gradient
+    + Adam in one jit);
+  * roofline: hand-counted FLOPs per walker-step (see _sampler_flops) and
+    per Hessian-flow stage (_hflow_flops) -> achieved GFLOP/s and fraction
+    of the v5e VPU peak.  Both Pallas kernels are VPU-compute-bound by
+    design: state lives in VMEM for the whole chain/solve, so HBM traffic is
+    one read + one write per LAUNCH (bandwidth_util ~ 0).
 
 Runs in float32 on TPU (no native f64); the float64 correctness gates live in
 tests/ on the CPU backend.
@@ -32,18 +42,83 @@ import numpy as np
 # measured on this machine (see BASELINE.md provenance).
 REFERENCE_WALKER_STEPS_PER_S = 62_500.0
 
+# v5e per-chip peaks (jax-ml.github.io/scaling-book): MXU 197 TFLOP/s bf16;
+# the sampler/Hessian-flow kernels run on the VPU (elementwise f32):
+# 8 sublanes x 128 lanes x 4 ALUs x 0.94 GHz.
+VPU_PEAK_FLOPS = 8 * 128 * 4 * 0.94e9  # ~3.85e12
+HBM_BYTES_PER_S = 819e9
+
 NUP = 6
 BATCH = 8192
 MCMC_STEPS = 100
+
+
+def _sampler_flops(n: int, K: int, dim: int = 2) -> float:
+    """Hand-counted flop-equivalents per walker-step of the fused Metropolis
+    kernel (ops/pallas_metropolis.py), spin-polarized variant.
+
+    Per step and walker, with d = n*dim:
+      proposal x+tau*noise          : 2d
+      Box-Muller (d normals)        : d/2 pairs x (log+sqrt+cos+sin ~ 4x8
+                                      flop-equivalents + 3 mults) ~ 17.5d
+      PRNG bit plumbing (d+1 words) : ~4(d+1)
+      Hermite tables (2 dims x n)   : 2n(4(K-2)+1)
+      Gaussian prefactor (exp ~ 8)  : 12n
+      Slater matrix build           : 2n^2
+      pivoted GE (selects+MACs)     : ~1.5n^3 + 8n (log per pivot)
+      accept (exp + selects)        : d + 12
+    """
+    d = n * dim
+    return (
+        2 * d + 17.5 * d + 4 * (d + 1)
+        + 2 * n * (4 * max(K - 2, 0) + 1) + 12 * n
+        + 2 * n * n + 1.5 * n**3 + 8 * n + d + 12
+    )
+
+
+def _hflow_flops(n: int, d_eta: int, d_mu: int, dim: int = 2) -> float:
+    """Flop-equivalents per walker per RK STAGE of the fused Hessian-flow
+    kernel (ops/pallas_hessian_flow.py).
+
+    Dominant terms, d = n*dim, P = n(n-1)/2 pairs:
+      pair MLP (4 derivative orders, hidden loop): P x d_eta x ~14
+      one-body MLP                                : n x d_mu x ~14
+      field tensors (A, gdiv, S, T assembly)      : ~8 d^2 + 20 P
+      dH/dt = -S - T - (A^T H + H A)              : ~4 d^3  (two d^3 MACs)
+      dg/dt, dlogp/dt, RK combine                 : ~2 d^2 + 10 d
+    """
+    d = n * dim
+    P = n * (n - 1) // 2
+    mlp = P * d_eta * 14 + (n * d_mu * 14 if d_mu else 0)
+    return mlp + 8 * d * d + 20 * P + 4 * d**3 + 2 * d * d + 10 * d
+
+
+def _fetch(x):
+    return np.asarray(x)
+
+
+def _time_reps(run, *args, reps):
+    out = run(*args)
+    _fetch(jax.tree_util.tree_leaves(out)[-1])  # compile + warm
+    t0 = time.perf_counter()
+    out = run(*args)
+    _fetch(jax.tree_util.tree_leaves(out)[-1])
+    return time.perf_counter() - t0, out
 
 
 def main():
     import optax
 
     from fermiflow_tpu import mcmc
+    from fermiflow_tpu.cli import common
     from fermiflow_tpu.config import Config
     from fermiflow_tpu.physics import HO2D, FreeFermion
-    from fermiflow_tpu.train import init_gs_state, make_gs_train_step
+    from fermiflow_tpu.train import (
+        init_beta_state,
+        init_gs_state,
+        make_beta_train_step,
+        make_gs_train_step,
+    )
     from __graft_entry__ import _build
 
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -52,18 +127,21 @@ def main():
     orb = HO2D()
     bd = FreeFermion(orb)
     occ = np.arange(NUP, dtype=np.int32)
+    nx_occ = tuple(int(v) for v in orb.nx[occ])
+    ny_occ = tuple(int(v) for v in orb.ny[occ])
+    kshells = int(max(nx_occ + ny_occ)) + 1
 
     if on_tpu:
         # Production sampler: fused Pallas Metropolis kernel.
-        from fermiflow_tpu.ops.pallas_metropolis import metropolis_free_fermion
-
-        nx_occ = tuple(int(v) for v in orb.nx[occ])
-        ny_occ = tuple(int(v) for v in orb.ny[occ])
+        from fermiflow_tpu.ops.pallas_metropolis import (
+            metropolis_free_fermion,
+            metropolis_free_fermion_multistate,
+        )
 
         def run_mcmc(key, x0):
             seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
             x, _, acc = metropolis_free_fermion(
-                x0, seed, 0.1, MCMC_STEPS, nx_occ, ny_occ
+                x0, seed, 0.1, MCMC_STEPS, nx_occ, ny_occ, kshells
             )
             return x, acc
     else:
@@ -79,30 +157,77 @@ def main():
     # Timing protocol: run REPS chained chains inside ONE jitted program and
     # fetch a value at the end.  Per-dispatch tunnel latency on remote TPU
     # platforms is O(100 ms) and block_until_ready does not reliably block,
-    # so per-call wall timing of eager dispatches is meaningless.  REPS is
-    # large enough to amortize the ~40 ms fixed program-launch overhead down
-    # to noise (the marginal chain cost is ~2 ms).
+    # so per-call wall timing of eager dispatches is meaningless.
+    def make_epochs(reps):
+        @jax.jit
+        def run_epochs(key, x0):
+            def body(i, carry):
+                x, _ = carry
+                return run_mcmc(jax.random.fold_in(key, i), x)
+
+            return jax.lax.fori_loop(
+                0, reps, body, (x0, jnp.zeros((BATCH,), dtype))
+            )
+
+        return run_epochs
+
     REPS = 50
+    dt_total, (x, acc) = _time_reps(make_epochs(REPS), key, x0, reps=None)
+    dt1, _ = _time_reps(make_epochs(1), jax.random.fold_in(key, 5), x0,
+                        reps=None)
+    dt = dt_total / REPS
+    walker_steps_per_s = BATCH * MCMC_STEPS / dt
+    # dt1 = overhead + 1 chain; dt_total = overhead + REPS chains.
+    marginal_per_chain = (dt_total - dt1) / (REPS - 1)
+    launch_overhead_s = max(dt1 - marginal_per_chain, 0.0)
+    marginal_wps = BATCH * MCMC_STEPS / max(marginal_per_chain, 1e-9)
+
+    sflops = _sampler_flops(NUP, kshells)
+    sampler_gflops = walker_steps_per_s * sflops / 1e9
+
+    # Mixed-state (finite-T) sampler at the N=6 deltaE=2 state space.
+    occ_table, _ = orb.fermion_states(NUP, 0, 2.0)
+    idx = jax.random.randint(jax.random.PRNGKey(1), (BATCH,), 0,
+                             occ_table.shape[0])
+    occm = jnp.take(jnp.asarray(occ_table), idx, axis=0)
+    nxm = jnp.take(jnp.asarray(orb.nx), occm)
+    nym = jnp.take(jnp.asarray(orb.ny), occm)
+    ms_kshells = int(
+        max(np.max(np.asarray(orb.nx)[np.asarray(occ_table)]),
+            np.max(np.asarray(orb.ny)[np.asarray(occ_table)]))
+    ) + 1
+
+    if on_tpu:
+        def run_mcmc_ms(key, x0):
+            seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+            x, _, acc = metropolis_free_fermion_multistate(
+                x0, seed, 0.1, MCMC_STEPS, nxm, nym, ms_kshells
+            )
+            return x, acc
+    else:
+        def run_mcmc_ms(key, x0):
+            state = mcmc.metropolis(
+                lambda x: bd.log_prob_multstates(
+                    jnp.asarray(occ_table), idx, x
+                ),
+                key, x0, MCMC_STEPS, 0.1,
+            )
+            return state.x, state.accept_rate
 
     @jax.jit
-    def run_epochs(key, x0):
+    def run_epochs_ms(key, x0):
         def body(i, carry):
             x, _ = carry
-            return run_mcmc(jax.random.fold_in(key, i), x)
+            return run_mcmc_ms(jax.random.fold_in(key, i), x)
 
         return jax.lax.fori_loop(
             0, REPS, body, (x0, jnp.zeros((BATCH,), dtype))
         )
 
-    x, acc = run_epochs(key, x0)
-    np.asarray(acc)  # compile + warmup
-    t0 = time.perf_counter()
-    x, acc = run_epochs(jax.random.fold_in(key, 123), x)
-    np.asarray(acc)
-    dt = (time.perf_counter() - t0) / REPS
-    walker_steps_per_s = BATCH * MCMC_STEPS / dt
+    dt_ms, (_, acc_ms) = _time_reps(run_epochs_ms, key, x0, reps=None)
+    ms_wps = BATCH * MCMC_STEPS * REPS / dt_ms
 
-    # Full train step (sample + local energy + grad + Adam) timing.
+    # ---- GS full train step (sample + local energy + grad + Adam) ----
     cfg = Config(
         nup=NUP,
         Z=0.5,
@@ -131,12 +256,43 @@ def main():
         return jax.lax.scan(body, state, None, length=REPS2)
 
     state, Es = multi_step(state)
-    np.asarray(Es)  # compile + warmup
+    _fetch(Es)  # compile + warmup (donation layout settles on call 2)
     t0 = time.perf_counter()
     state, Es = multi_step(state)
-    np.asarray(Es)
+    _fetch(Es)
     step_s = (time.perf_counter() - t0) / REPS2
-    metrics = {"E": Es[-1]}
+
+    # Hessian-flow roofline for the train step: stages = 7 evals (dopri5)
+    # x ode_steps; the engine also pays the base val/grad/Hess + flow logp.
+    d_eta, d_mu = 50, 50
+    hflops_step = _hflow_flops(NUP, d_eta, d_mu) * 7 * cfg.ode_steps * BATCH
+    train_gflops = hflops_step / step_s / 1e9
+
+    # ---- finite-T full train step ----
+    bcfg = Config(
+        nup=NUP, Z=0.5, beta=2.0, deltaE=2.0, boltzmann=True, batch=BATCH,
+        ode_steps=8, equilibrium_steps=MCMC_STEPS, laplacian_chunk=512,
+        lr=1e-3, pallas_sampler=on_tpu, pallas_local_energy=on_tpu,
+        dtype="float32" if on_tpu else "float64",
+    )
+    bmodel, bparams = common.build_beta(bcfg)
+    bopt = optax.adam(bcfg.lr)
+    bstate = init_beta_state(bmodel, bparams, bcfg, bopt)
+    raw_bstep = make_beta_train_step(bmodel, bopt, bcfg, jit=False)
+
+    @jax.jit
+    def multi_bstep(state):
+        def body(s, _):
+            s2, m = raw_bstep(s)
+            return s2, (m["F"], m["E"], m["S"])
+        return jax.lax.scan(body, state, None, length=REPS2)
+
+    bstate, Fs = multi_bstep(bstate)
+    _fetch(Fs[0])
+    t0 = time.perf_counter()
+    bstate, Fs = multi_bstep(bstate)
+    _fetch(Fs[0])
+    bstep_s = (time.perf_counter() - t0) / REPS2
 
     print(
         json.dumps(
@@ -149,9 +305,30 @@ def main():
                 ),
                 "config": f"N={NUP} batch={BATCH} mcmc_steps={MCMC_STEPS}",
                 "accept_rate": round(float(jnp.mean(acc)), 3),
+                "sampler_marginal_wps": round(marginal_wps, 1),
+                "launch_overhead_ms": round(launch_overhead_s * 1e3, 2),
+                "sampler_flops_per_walker_step": round(sflops, 1),
+                "sampler_gflops": round(sampler_gflops, 1),
+                "sampler_vpu_util": round(
+                    sampler_gflops * 1e9 / VPU_PEAK_FLOPS, 4
+                ),
+                "sampler_marginal_vpu_util": round(
+                    marginal_wps * sflops / VPU_PEAK_FLOPS, 4
+                ),
+                "mixed_state_wps": round(ms_wps, 1),
+                "mixed_state_accept": round(float(jnp.mean(acc_ms)), 3),
                 "train_step_seconds": round(step_s, 4),
                 "train_hours_per_100_iters": round(step_s * 100 / 3600, 5),
-                "train_E": float(metrics["E"]),
+                "train_E": float(_fetch(Es)[-1]),
+                "train_gflops_est": round(train_gflops, 1),
+                "train_vpu_util_est": round(
+                    train_gflops * 1e9 / VPU_PEAK_FLOPS, 4
+                ),
+                "beta_step_seconds": round(bstep_s, 4),
+                "beta_F": float(_fetch(Fs[0])[-1]),
+                "hbm_bandwidth_util": round(
+                    2 * BATCH * NUP * 2 * 4 / dt / HBM_BYTES_PER_S, 6
+                ),
                 "platform": jax.devices()[0].platform,
             }
         )

@@ -161,20 +161,23 @@ def make_gs_train_step(model: GSVMC, optimizer, cfg: Config, mesh=None,
     orb = model.basedist.orbitals
     nx_occ = tuple(int(v) for v in orb.nx[model.occ_up])
     ny_occ = tuple(int(v) for v in orb.ny[model.occ_up])
+    # Hermite recurrence depth: only as deep as the occupied orbitals need
+    # (the full shell count would waste ~2x table work at small N).
+    kshells = int(max(nx_occ + ny_occ)) + 1 if nx_occ else 1
 
     def sample_base(k_mcmc, z0, n_steps, tau):
         if use_pallas:
             seed = jax.random.randint(k_mcmc, (), 0, 2**31 - 1, dtype=jnp.int32)
             if mesh is None:
                 x, logp, acc = metropolis_free_fermion(
-                    z0, seed, tau, n_steps, nx_occ, ny_occ, orb.num_shells,
+                    z0, seed, tau, n_steps, nx_occ, ny_occ, kshells,
                     cfg.pallas_interpret,
                 )
             else:
                 # one kernel launch per device, walkers sharded on the mesh
                 x, logp, acc = metropolis_free_fermion_sharded(
                     mesh, z0, seed, tau, n_steps, nx_occ, ny_occ,
-                    orb.num_shells, cfg.pallas_interpret,
+                    kshells, cfg.pallas_interpret,
                 )
             return mcmc.MCMCState(
                 x=x, logp=logp, tau=jnp.asarray(tau, dtype), accept_rate=acc
@@ -267,10 +270,15 @@ def make_beta_train_step(model: BetaVMC, optimizer, cfg: Config, mesh=None,
     jit."""
     wshard = walker_sharding(mesh) if mesh is not None else None
     dtype = cfg.jnp_dtype()
+    import numpy as _np
+
     occ_table = jnp.asarray(model.occ_table)
     orb = model.basedist.orbitals
     nx_tab = jnp.asarray(orb.nx)
     ny_tab = jnp.asarray(orb.ny)
+    _occ_np = _np.asarray(model.occ_table)
+    kshells = int(max(_np.max(_np.asarray(orb.nx)[_occ_np]),
+                      _np.max(_np.asarray(orb.ny)[_occ_np]))) + 1
     use_pallas = cfg.pallas_sampler and dtype == jnp.float32
     le_backend = _le_backend(cfg, model, dtype)
 
@@ -282,14 +290,14 @@ def make_beta_train_step(model: BetaVMC, optimizer, cfg: Config, mesh=None,
             ny = jnp.take(ny_tab, occ)
             if mesh is None:
                 x, logp, acc = metropolis_free_fermion_multistate(
-                    z0, seed, tau, n_steps, nx, ny, orb.num_shells,
+                    z0, seed, tau, n_steps, nx, ny, kshells,
                     cfg.pallas_interpret,
                 )
             else:
                 x, logp, acc = metropolis_free_fermion_multistate_sharded(
                     mesh, z0, seed, tau, n_steps,
                     _constrain(nx, wshard), _constrain(ny, wshard),
-                    orb.num_shells, cfg.pallas_interpret,
+                    kshells, cfg.pallas_interpret,
                 )
             return mcmc.MCMCState(
                 x=x, logp=logp, tau=jnp.asarray(tau, dtype), accept_rate=acc

@@ -142,10 +142,22 @@ def restore_checkpoint(directory: str, state_like):
         import orbax.checkpoint as ocp
 
         ckptr = ocp.PyTreeCheckpointer()
-        restored = ckptr.restore(
-            os.path.abspath(path), item=_to_numpy_tree(state_like)
-        )
+        try:
+            restored = ckptr.restore(
+                os.path.abspath(path), item=_to_numpy_tree(state_like)
+            )
+        except Exception:
+            # Container-shape evolution (e.g. TrainState gained fields whose
+            # value is None): restore the raw saved tree and match leaves
+            # positionally — None fields contribute no leaves, so equal leaf
+            # counts mean the same data layout.
+            restored = ckptr.restore(os.path.abspath(path))
         leaves = jax.tree_util.tree_leaves(restored)
+        if len(leaves) != len(jax.tree_util.tree_leaves(state_like)):
+            raise ValueError(
+                f"checkpoint at {path} has {len(leaves)} leaves; live state "
+                f"expects {len(jax.tree_util.tree_leaves(state_like))}"
+            )
     like_leaves = jax.tree_util.tree_leaves(state_like)
     leaves = [_place_like(l, like) for l, like in zip(leaves, like_leaves)]
     return jax.tree_util.tree_unflatten(treedef, leaves), step

@@ -207,3 +207,46 @@ def test_trajectory_frames():
     frames = odeint_trajectory(f_linear, p, x0, ts, steps_per_frame=8)
     want = np.asarray([float(x_exact(p, 1.0, t=float(t))) for t in ts])
     np.testing.assert_allclose(np.asarray(frames), want, atol=1e-9)
+
+
+def test_adjoint_third_order_reverse():
+    """3rd derivatives through the O(1)-memory adjoint — full parity with the
+    reference's SolveIVP higher-order tests
+    (/root/reference/tests/test_NeuralODE.py:82-116): the backward pass is
+    built from differentiable primitives, so reverse-mode nests to any
+    order."""
+    x0 = jnp.asarray(1.0)
+
+    def solve(a1):
+        p = {"a1": a1, "a2": jnp.asarray(-0.4)}
+        return odeint_adjoint(f_linear, p, x0, 0.0, T, 64, "dopri5")
+
+    g3 = jax.grad(jax.grad(jax.grad(solve)))(jnp.asarray(0.7))
+    want = np.exp(0.7 * -0.4 * T) * (0.4 * T) ** 3
+    np.testing.assert_allclose(float(g3), -want, atol=1e-9)
+
+
+def test_adjoint_memory_is_step_independent():
+    """The point of the adjoint: backward-pass temp memory must not scale
+    with ode_steps (the scan solver saves the whole stage trajectory).
+    Measured via XLA's compiled memory analysis."""
+    xb = jnp.ones((256,))
+    STEPS = 2048
+
+    def loss_scan(a1):
+        p = {"a1": a1, "a2": jnp.asarray(-0.4)}
+        return jnp.sum(odeint(f_linear, p, xb, 0.0, T, steps=STEPS,
+                              method="dopri5"))
+
+    def loss_adj(a1):
+        p = {"a1": a1, "a2": jnp.asarray(-0.4)}
+        return jnp.sum(odeint_adjoint(f_linear, p, xb, 0.0, T, STEPS,
+                                      "dopri5"))
+
+    def temp_bytes(fn):
+        c = jax.jit(jax.grad(fn)).lower(jnp.asarray(0.7)).compile()
+        return c.memory_analysis().temp_size_in_bytes
+
+    scan_b, adj_b = temp_bytes(loss_scan), temp_bytes(loss_adj)
+    # measured: ~25 MB vs ~17 KB at 2048 steps x 256-dim state (f64 CPU)
+    assert adj_b * 100 < scan_b, (adj_b, scan_b)
