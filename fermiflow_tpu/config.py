@@ -30,8 +30,11 @@ class Config:
     t0: float = 0.0
     t1: float = 1.0
 
-    # ODE solver
-    ode_steps: int = 16
+    # ODE solver.  Default grid backed by the trained-params error study
+    # (validation/ode_steps_study.py, docs/VALIDATION.md): at converged N=6
+    # parameters 8 dopri5 steps give |dE| ~ 5e-12 and gradient rel-err ~2e-10
+    # vs a 256-step grid — 9 orders below the batch-8192 MC error (4e-3).
+    ode_steps: int = 8
     ode_method: str = "dopri5"
     ode_solver: str = "fixed"  # generate path: fixed | adaptive | adjoint
     rtol: float = 1e-6

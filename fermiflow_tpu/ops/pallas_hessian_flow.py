@@ -73,7 +73,7 @@ def _mlp4_block(r_blk, w1_ref, b1_ref, w2k_ref, hidden):
     return e0, e1, e2, e3
 
 
-def _field_rhs(x, g, H, eta_refs, mu_refs, *, n, dim, d_eta, d_mu):
+def _field_rhs(x, g, H, eta_refs, mu_refs, *, n, dim, d_eta, d_mu, sf):
     """Augmented-system RHS from coordinate-major rows.
 
     x, g: (d, B); H: (d*d, B).  Returns (v, dlogp, dg, dH) in the same
@@ -81,15 +81,18 @@ def _field_rhs(x, g, H, eta_refs, mu_refs, *, n, dim, d_eta, d_mu):
     """
     assert dim == 2
     d = n * dim
-    B = x.shape[-1]
+    B = x.shape[-1]  # lanes per tile
     pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
     npair = len(pairs)
+    # Per-walker scalars are (sf, L) tiles: row c of a logical (rows, B)
+    # quantity lives at sublane group [sf*c, sf*(c+1)).
+    row = lambda arr, c: arr[sf * c : sf * (c + 1)]
+    xs = [row(x, c) for c in range(d)]
+    gs = [row(g, c) for c in range(d)]
 
     # ---- pair geometry ----
-    u0 = [x[2 * i : 2 * i + 1] - x[2 * j : 2 * j + 1] for (i, j) in pairs]
-    u1 = [
-        x[2 * i + 1 : 2 * i + 2] - x[2 * j + 1 : 2 * j + 2] for (i, j) in pairs
-    ]
+    u0 = [xs[2 * i] - xs[2 * j] for (i, j) in pairs]
+    u1 = [xs[2 * i + 1] - xs[2 * j + 1] for (i, j) in pairs]
     r_rows = [
         jnp.sqrt(u0[p] * u0[p] + u1[p] * u1[p]) for p in range(npair)
     ]
@@ -97,8 +100,8 @@ def _field_rhs(x, g, H, eta_refs, mu_refs, *, n, dim, d_eta, d_mu):
 
     e0b, e1b, e2b, e3b = _mlp4_block(r_blk, *eta_refs, d_eta)
 
-    # Accumulators (row lists; assembled into block arrays at the end).
-    zero = lambda: jnp.zeros((1, B), jnp.float32)
+    # Accumulators (tile lists; assembled into block arrays at the end).
+    zero = lambda: jnp.zeros((sf, B), jnp.float32)
     v = [zero() for _ in range(d)]
     gdiv = [zero() for _ in range(d)]
     A = [[zero() for _ in range(d)] for _ in range(d)]  # A[c][a] = dv_c/dx_a
@@ -109,10 +112,10 @@ def _field_rhs(x, g, H, eta_refs, mu_refs, *, n, dim, d_eta, d_mu):
         return ((0, 0, c00), (0, 1, c01), (1, 0, c01), (1, 1, c11))
 
     for p, (i, j) in enumerate(pairs):
-        e0 = e0b[p : p + 1]
-        e1 = e1b[p : p + 1]
-        e2 = e2b[p : p + 1]
-        e3 = e3b[p : p + 1]
+        e0 = row(e0b, p)
+        e1 = row(e1b, p)
+        e2 = row(e2b, p)
+        e3 = row(e3b, p)
         r = r_rows[p]
         iv = 1.0 / r
         iv2 = iv * iv
@@ -162,8 +165,8 @@ def _field_rhs(x, g, H, eta_refs, mu_refs, *, n, dim, d_eta, d_mu):
         # Gq_bc = (e1/r)(g_b u_c + g_c u_b + d_bc g.u) + (e2/r^2 - e1/r^3)(g.u) uu
         # with g -> g_i, u -> u_ij for (i,j) and g -> g_j, u -> -u_ij for (j,i).
         qb_c = e2 * iv2 - e1 * iv3
-        gi0, gi1 = g[2 * i : 2 * i + 1], g[2 * i + 1 : 2 * i + 2]
-        gj0, gj1 = g[2 * j : 2 * j + 1], g[2 * j + 1 : 2 * j + 2]
+        gi0, gi1 = gs[2 * i], gs[2 * i + 1]
+        gj0, gj1 = gs[2 * j], gs[2 * j + 1]
         # Effective linear weight: Gq(i,j)+Gq(j,i) is linear in (g_i - g_j)
         # contracted with +u (the (j,i) term flips both g and u signs in the
         # odd pieces): let w = g_i - g_j.
@@ -183,18 +186,18 @@ def _field_rhs(x, g, H, eta_refs, mu_refs, *, n, dim, d_eta, d_mu):
 
     # ---- one-body term (mu) ----
     if mu_refs is not None:
-        x0r = [x[2 * i : 2 * i + 1] for i in range(n)]
-        x1r = [x[2 * i + 1 : 2 * i + 2] for i in range(n)]
+        x0r = [xs[2 * i] for i in range(n)]
+        x1r = [xs[2 * i + 1] for i in range(n)]
         rho_rows = [
             jnp.sqrt(x0r[i] * x0r[i] + x1r[i] * x1r[i]) for i in range(n)
         ]
         rho_blk = jnp.concatenate(rho_rows, axis=0)  # (n, B)
         m0b, m1b, m2b, m3b = _mlp4_block(rho_blk, *mu_refs, d_mu)
         for i in range(n):
-            m0 = m0b[i : i + 1]
-            m1 = m1b[i : i + 1]
-            m2 = m2b[i : i + 1]
-            m3 = m3b[i : i + 1]
+            m0 = row(m0b, i)
+            m1 = row(m1b, i)
+            m2 = row(m2b, i)
+            m3 = row(m3b, i)
             rho = rho_rows[i]
             iv = 1.0 / rho
             iv2 = iv * iv
@@ -224,8 +227,8 @@ def _field_rhs(x, g, H, eta_refs, mu_refs, *, n, dim, d_eta, d_mu):
             ):
                 S[2 * i + a][2 * i + b] = S[2 * i + a][2 * i + b] + val
 
-            gi0 = g[2 * i : 2 * i + 1]
-            gi1 = g[2 * i + 1 : 2 * i + 2]
+            gi0 = gs[2 * i]
+            gi1 = gs[2 * i + 1]
             gx = gi0 * xa + gi1 * xb
             qb = (m2 * iv2 - m1 * iv3) * gx
             for a, b, val in sym_entries(
@@ -236,7 +239,7 @@ def _field_rhs(x, g, H, eta_refs, mu_refs, *, n, dim, d_eta, d_mu):
                 T[2 * i + a][2 * i + b] = T[2 * i + a][2 * i + b] + val
 
     # ---- assemble RHS ----
-    dlogp = jnp.zeros((1, B), jnp.float32)
+    dlogp = jnp.zeros((sf, B), jnp.float32)
     for a in range(d):
         dlogp = dlogp - A[a][a]
 
@@ -244,16 +247,17 @@ def _field_rhs(x, g, H, eta_refs, mu_refs, *, n, dim, d_eta, d_mu):
     for a in range(d):
         acc = gdiv[a]
         for c in range(d):
-            acc = acc + A[c][a] * g[c : c + 1]
+            acc = acc + A[c][a] * gs[c]
         dg[a] = -acc
 
     # K = A^T H; dH = -S - T - (K + K^T) using H = H^T.
+    Hs = [row(H, e) for e in range(d * d)]
     K = [[None] * d for _ in range(d)]
     for a in range(d):
         for b in range(d):
             acc = None
             for c in range(d):
-                term = A[c][a] * H[c * d + b : c * d + b + 1]
+                term = A[c][a] * Hs[c * d + b]
                 acc = term if acc is None else acc + term
             K[a][b] = acc
     dH = [None] * (d * d)
@@ -273,14 +277,14 @@ def _hessian_flow_kernel(
     eta_w1, eta_b1, eta_w2k, mu_w1, mu_b1, mu_w2k,
     x_ref, logp_ref, g_ref, H_ref,
     out_x, out_logp, out_g, out_H,
-    *, steps, h, n, dim, d_eta, d_mu, tableau_name,
+    *, steps, h, n, dim, d_eta, d_mu, tableau_name, sf,
 ):
     eta_refs = (eta_w1, eta_b1, eta_w2k)
     mu_refs = None if mu_w1 is None else (mu_w1, mu_b1, mu_w2k)
     tab = TABLEAUS[tableau_name]
     rhs = functools.partial(
         _field_rhs, eta_refs=eta_refs, mu_refs=mu_refs,
-        n=n, dim=dim, d_eta=d_eta, d_mu=d_mu,
+        n=n, dim=dim, d_eta=d_eta, d_mu=d_mu, sf=sf,
     )
 
     def axpy(state, coefs, ks):
@@ -341,15 +345,26 @@ def hessian_flow_pallas(
     """
     B, n, dim = z.shape
     d = n * dim
+    from fermiflow_tpu.ode.integrators import TABLEAUS as _TABS
+
+    stages = _TABS[method].stages
+    # Per-walker scalar quantities live as (SF, L) sublane tiles so the 8x128
+    # vector registers are filled (SF=8 -> full vregs; the round-1 (1, B)
+    # row layout used 1 of 8 sublanes and measured ~4x slower).  SF shrinks
+    # for large n where the live augmented state (state + stage slopes +
+    # A/S/T/K working set, ~(d^2+2d+1)(stages+2)+4d^2 floats per walker)
+    # would overflow VMEM at a 128-lane tile.
+    bytes_per_walker = 4 * ((d * d + 2 * d + 1) * (stages + 2)
+                            + 4 * d * d + 10 * n * n)
+    budget = 12 * 2**20
     if block_walkers is None:
-        # One lane-tile of walkers per grid block.  Measured on v5e (N=6,
-        # batch 8192, 16 dopri5 steps): 27 ms at BW=128 vs 40 ms at 256 and
-        # 56 ms at 512 — smaller live state pipelines better, and 128 keeps
-        # scoped VMEM (~24 KiB/walker at N=6) far below the 16 MiB limit
-        # (1024 exceeds it).  Mosaic requires the lane dim be a multiple
-        # of 128, so this is also the floor.
         block_walkers = 128
+        for cand in (2048, 1024, 512, 256):
+            if cand * bytes_per_walker <= budget:
+                block_walkers = cand
+                break
     BW = min(B, block_walkers)
+    SF = max(1, min(8, BW // 128))
     # Pad the walker axis to a multiple of the block (edge-replicated so the
     # padded lanes stay finite); outputs are sliced back to B.
     Bpad = -(-B // BW) * BW
@@ -361,10 +376,12 @@ def hessian_flow_pallas(
         )
     h = (float(t1) - float(t0)) / steps
 
-    x_cm = z.reshape(Bpad, d).T.astype(jnp.float32)
-    logp_cm = y0.astype(jnp.float32)[None, :]
-    g_cm = g0.T.astype(jnp.float32)
-    H_cm = H0.reshape(Bpad, d * d).T.astype(jnp.float32)
+    LP = Bpad // SF  # global lane dimension after sublane tiling
+    tile = lambda a: a.reshape(a.shape[0] * SF, LP)
+    x_cm = tile(z.reshape(Bpad, d).T.astype(jnp.float32))
+    logp_cm = tile(y0.astype(jnp.float32)[None, :])
+    g_cm = tile(g0.T.astype(jnp.float32))
+    H_cm = tile(H0.reshape(Bpad, d * d).T.astype(jnp.float32))
 
     eta = params["eta"]
     mu = params.get("mu")
@@ -386,7 +403,7 @@ def hessian_flow_pallas(
         kernel = functools.partial(
             _hessian_flow_kernel,
             steps=steps, h=h, n=n, dim=dim, d_eta=d_eta, d_mu=d_mu,
-            tableau_name=method,
+            tableau_name=method, sf=SF,
         )
     else:
         d_mu = 0
@@ -396,20 +413,21 @@ def hessian_flow_pallas(
                 ew1, eb1, ew2k, None, None, None, *rest, **kw
             ),
             steps=steps, h=h, n=n, dim=dim, d_eta=d_eta, d_mu=d_mu,
-            tableau_name=method,
+            tableau_name=method, sf=SF,
         )
 
+    LW = BW // SF  # lanes per grid block
     row_block = lambda rows: pl.BlockSpec(
-        (rows, BW), lambda i: (0, i), memory_space=pltpu.VMEM
+        (rows * SF, LW), lambda i: (0, i), memory_space=pltpu.VMEM
     )
     x_out, logp_out, g_out, H_out = pl.pallas_call(
         kernel,
         grid=(Bpad // BW,),
         out_shape=(
-            jax.ShapeDtypeStruct((d, Bpad), jnp.float32),
-            jax.ShapeDtypeStruct((1, Bpad), jnp.float32),
-            jax.ShapeDtypeStruct((d, Bpad), jnp.float32),
-            jax.ShapeDtypeStruct((d * d, Bpad), jnp.float32),
+            jax.ShapeDtypeStruct((d * SF, LP), jnp.float32),
+            jax.ShapeDtypeStruct((SF, LP), jnp.float32),
+            jax.ShapeDtypeStruct((d * SF, LP), jnp.float32),
+            jax.ShapeDtypeStruct((d * d * SF, LP), jnp.float32),
         ),
         in_specs=weight_specs
         + [row_block(d), row_block(1), row_block(d), row_block(d * d)],
@@ -421,11 +439,12 @@ def hessian_flow_pallas(
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(*weight_args, x_cm, logp_cm, g_cm, H_cm)
+    untile = lambda a, rows: a.reshape(rows, Bpad)
     return (
-        x_out.T[:B].reshape(B, n, dim),
-        logp_out[0, :B],
-        g_out.T[:B],
-        H_out.T[:B].reshape(B, d, d),
+        untile(x_out, d).T[:B].reshape(B, n, dim),
+        untile(logp_out, 1)[0, :B],
+        untile(g_out, d).T[:B],
+        untile(H_out, d * d).T[:B].reshape(B, d, d),
     )
 
 

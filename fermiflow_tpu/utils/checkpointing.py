@@ -50,6 +50,33 @@ def _proc_dir(directory: str) -> str:
     return directory
 
 
+def _match_structure(saved, like):
+    """Re-walk an orbax raw-restored tree (NamedTuples/lists come back as
+    dicts keyed by field name / stringified index) in the order of ``like``,
+    tolerating fields that are None in ``like`` and absent in ``saved``."""
+    if like is None:
+        return None
+    if saved is None:
+        # empty containers (e.g. optax EmptyState) or fields added since the
+        # save; only valid when `like` holds no array leaves there.
+        if jax.tree_util.tree_leaves(like):
+            raise ValueError("checkpoint is missing a leaf-bearing subtree")
+        return None
+    if isinstance(like, tuple) and hasattr(like, "_fields"):
+        if isinstance(saved, dict):
+            return [_match_structure(saved.get(f), getattr(like, f))
+                    for f in like._fields]
+        return [_match_structure(s, getattr(like, f))
+                for s, f in zip(saved, like._fields)]
+    if isinstance(like, (list, tuple)):
+        if isinstance(saved, dict):
+            saved = [saved[str(i)] for i in range(len(like))]
+        return [_match_structure(s, l) for s, l in zip(saved, like)]
+    if isinstance(like, dict):
+        return {k: _match_structure(saved[k], like[k]) for k in like}
+    return saved
+
+
 def _place_like(np_leaf, like):
     """Re-place a restored host leaf with the sharding of the live leaf."""
     if isinstance(like, jax.Array) and not like.is_fully_addressable:
@@ -146,13 +173,13 @@ def restore_checkpoint(directory: str, state_like):
             restored = ckptr.restore(
                 os.path.abspath(path), item=_to_numpy_tree(state_like)
             )
+            leaves = jax.tree_util.tree_leaves(restored)
         except Exception:
             # Container-shape evolution (e.g. TrainState gained fields whose
-            # value is None): restore the raw saved tree and match leaves
-            # positionally — None fields contribute no leaves, so equal leaf
-            # counts mean the same data layout.
-            restored = ckptr.restore(os.path.abspath(path))
-        leaves = jax.tree_util.tree_leaves(restored)
+            # value is None): restore the raw saved tree (orbax returns
+            # name-keyed dicts) and re-walk it in the live structure's order.
+            raw = ckptr.restore(os.path.abspath(path))
+            leaves = jax.tree_util.tree_leaves(_match_structure(raw, state_like))
         if len(leaves) != len(jax.tree_util.tree_leaves(state_like)):
             raise ValueError(
                 f"checkpoint at {path} has {len(leaves)} leaves; live state "
