@@ -75,9 +75,15 @@ def add_flags(parser: argparse.ArgumentParser, finite_t: bool):
                         help="local-energy engine: forward Hessian flow "
                              "(closed-form field derivatives) or nested-jvp "
                              "Laplacian through the reverse ODE")
+    parser.add_argument("--steps-per-call", type=int, default=d.steps_per_call,
+                        help="iterations scanned inside one compiled program "
+                             "(amortizes per-dispatch latency; metrics stay "
+                             "per-iteration). Pick a divisor of "
+                             "--checkpoint-every.")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="capture a jax.profiler trace of iterations 2-4 "
-                             "into this directory")
+                             "(or of the second program dispatch when "
+                             "--steps-per-call > 1) into this directory")
     parser.add_argument("--debug-nans", action="store_true",
                         help="enable jax_debug_nans (numerical sanitizer)")
     # Multi-host bring-up (jax.distributed); on a pod slice every host runs
@@ -88,6 +94,77 @@ def add_flags(parser: argparse.ArgumentParser, finite_t: bool):
                              "jax.distributed.initialize (multi-host)")
     parser.add_argument("--num-processes", type=int, default=None)
     parser.add_argument("--process-id", type=int, default=None)
+
+
+def run_training_loop(state, start_step, cfg, args, make_step, logger,
+                      primary, print_row):
+    """Drive training from ``start_step`` to ``cfg.iternum``.
+
+    With ``cfg.steps_per_call == 1`` this is the classic one-dispatch-per-
+    iteration loop (reference semantics, ``src/FermionHO2D.py:66-76``).  With
+    K > 1 it scans K iterations inside one compiled program
+    (``train.make_multi_step``) and fetches the stacked per-iteration metrics
+    once per dispatch — chunk boundaries are clipped to the checkpoint cadence
+    so ``--checkpoint-every`` stays exact.
+
+    ``make_step(jit)`` must return the (jitted or raw) train step;
+    ``print_row(rec)`` renders one reference-format stdout line.
+    """
+    import time as _time
+
+    from fermiflow_tpu.train import make_multi_step
+    from fermiflow_tpu.utils import save_checkpoint, trace
+
+    K = max(1, int(cfg.steps_per_call))
+    if K == 1:
+        step_fn = make_step(True)
+        profiling = None
+        for i in range(start_step + 1, cfg.iternum + 1):
+            if args.profile_dir and i == 2:
+                profiling = trace(args.profile_dir)
+                profiling.__enter__()
+            state, metrics = step_fn(state)
+            rec = logger.log(i, metrics)
+            if profiling is not None and i == 4:
+                import numpy as _np
+
+                _np.asarray(metrics["E"])  # flush device work into the trace
+                profiling.__exit__(None, None, None)
+                profiling = None
+            if primary:
+                print_row(rec)
+            if cfg.checkpoint_dir and i % cfg.checkpoint_every == 0:
+                save_checkpoint(cfg.checkpoint_dir, i, state)
+        return state
+
+    raw_step = make_step(False)
+    compiled = {}  # chunk length -> jitted multi-step program
+    i = start_step
+    dispatch = 0
+    while i < cfg.iternum:
+        chunk = min(K, cfg.iternum - i)
+        if cfg.checkpoint_dir:
+            chunk = min(chunk, cfg.checkpoint_every - i % cfg.checkpoint_every)
+        fn = compiled.get(chunk)
+        if fn is None:
+            fn = compiled[chunk] = make_multi_step(raw_step, chunk)
+        dispatch += 1
+        profiling = None
+        if args.profile_dir and dispatch == 2:
+            profiling = trace(args.profile_dir)
+            profiling.__enter__()
+        t0 = _time.time()
+        state, stacked = fn(state)
+        rows = logger.log_many(i + 1, stacked, t0)  # fetch = device sync
+        if profiling is not None:
+            profiling.__exit__(None, None, None)
+        if primary:
+            for rec in rows:
+                print_row(rec)
+        i += chunk
+        if cfg.checkpoint_dir and i % cfg.checkpoint_every == 0:
+            save_checkpoint(cfg.checkpoint_dir, i, state)
+    return state
 
 
 def maybe_init_distributed(args) -> bool:
@@ -136,6 +213,7 @@ def config_from_args(args, finite_t: bool) -> Config:
         checkpoint_every=args.checkpoint_every,
         metrics_path=args.metrics,
         local_energy=args.local_energy,
+        steps_per_call=args.steps_per_call,
     )
     if finite_t:
         cfg.beta = args.beta

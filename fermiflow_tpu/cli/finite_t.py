@@ -17,12 +17,7 @@ import optax
 from fermiflow_tpu.cli import common
 from fermiflow_tpu.parallel import make_walker_mesh, shard_walkers
 from fermiflow_tpu.train import init_beta_state, make_beta_train_step
-from fermiflow_tpu.utils import (
-    MetricsLogger,
-    restore_checkpoint,
-    save_checkpoint,
-    trace,
-)
+from fermiflow_tpu.utils import MetricsLogger, restore_checkpoint
 
 
 def main(argv=None):
@@ -49,7 +44,6 @@ def main(argv=None):
     if cfg.checkpoint_dir:
         state, start_step = restore_checkpoint(cfg.checkpoint_dir, state)
 
-    step_fn = make_beta_train_step(model, optimizer, cfg, mesh=mesh)
     logger = MetricsLogger(cfg.metrics_path if primary else None)
 
     if primary:
@@ -65,30 +59,22 @@ def main(argv=None):
         )
         print(f"batch = {cfg.batch}, iternum = {cfg.iternum}.")
 
-    profiling = None
-    for i in range(start_step + 1, cfg.iternum + 1):
-        if args.profile_dir and i == 2:
-            profiling = trace(args.profile_dir)
-            profiling.__enter__()
-        state, metrics = step_fn(state)
-        rec = logger.log(i, metrics)
-        if profiling is not None and i == 4:
-            import numpy as _np
+    def print_row(rec):
+        print(
+            f"iter: {rec['step']:03d} F: {rec['F']} F_std: {rec['F_std']} "
+            f"E: {rec['E']} E_std: {rec['E_std']} "
+            f"S: {rec['S']} S_analytical: {rec['S_analytical']} "
+            f"accept: {rec['accept_rate']:.3f} "
+            f"Instant speed (hours per 100 iters): "
+            f"{rec.get('hours_per_100_iters', float('nan'))}"
+        )
 
-            _np.asarray(metrics["E"])  # flush device work into the trace
-            profiling.__exit__(None, None, None)
-            profiling = None
-        if primary:
-            print(
-                f"iter: {i:03d} F: {rec['F']} F_std: {rec['F_std']} "
-                f"E: {rec['E']} E_std: {rec['E_std']} "
-                f"S: {rec['S']} S_analytical: {rec['S_analytical']} "
-                f"accept: {rec['accept_rate']:.3f} "
-                f"Instant speed (hours per 100 iters): "
-                f"{rec.get('hours_per_100_iters', float('nan'))}"
-            )
-        if cfg.checkpoint_dir and i % cfg.checkpoint_every == 0:
-            save_checkpoint(cfg.checkpoint_dir, i, state)
+    state = common.run_training_loop(
+        state, start_step, cfg, args,
+        lambda jit: make_beta_train_step(model, optimizer, cfg, mesh=mesh,
+                                         jit=jit),
+        logger, primary, print_row,
+    )
 
     if args.movie:
         import jax

@@ -54,6 +54,13 @@ class Config:
     # optimization
     lr: float = 1e-2
     iternum: int = 1000
+    # Iterations scanned inside ONE compiled program per dispatch.  On
+    # runtimes with high per-launch latency (a tunneled TPU pays a fixed
+    # ~31 ms per dispatch plus ~100 ms per metrics fetch) the overhead
+    # dominates the ~40 ms step compute; K>1 amortizes it to 1/K while the
+    # stacked per-iteration metrics keep full observability.  Pick K dividing
+    # checkpoint_every to avoid extra chunk-size compiles.
+    steps_per_call: int = 1
 
     # numerics / runtime
     local_energy: str = "auto"  # auto | hessian_flow | nested_jvp

@@ -40,7 +40,30 @@ from fermiflow_tpu.vmc.beta import BetaVMC
 from fermiflow_tpu.vmc.gs import GSVMC
 
 __all__ = ["TrainState", "make_gs_train_step", "make_beta_train_step",
-           "init_gs_state", "init_beta_state"]
+           "make_multi_step", "init_gs_state", "init_beta_state"]
+
+
+def make_multi_step(raw_step_fn, steps_per_call: int):
+    """Scan ``steps_per_call`` training iterations inside ONE compiled program.
+
+    ``raw_step_fn`` must be the unjitted step from ``make_*_train_step(...,
+    jit=False)``.  Returns a jitted ``state -> (state, metrics)`` where each
+    metrics leaf is stacked to shape ``(steps_per_call,)`` — one entry per
+    inner iteration, so per-iteration observability is preserved while the
+    program-dispatch and metrics-fetch overhead is paid once per K iterations
+    (the reference pays a host sync per ``.item()`` every iteration,
+    ``src/VMC.py:57``; a tunneled TPU runtime pays far more per dispatch).
+    """
+    if steps_per_call == 1:
+        return jax.jit(raw_step_fn, donate_argnums=0)
+
+    def multi(state: TrainState):
+        def body(s, _):
+            return raw_step_fn(s)
+
+        return jax.lax.scan(body, state, None, length=steps_per_call)
+
+    return jax.jit(multi, donate_argnums=0)
 
 
 class TrainState(NamedTuple):

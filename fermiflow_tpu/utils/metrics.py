@@ -39,6 +39,35 @@ class MetricsLogger:
             self._fh.flush()
         return rec
 
+    def log_many(self, first_step: int, metrics, t_start: float) -> list:
+        """Record a stacked-metrics chunk from a multi-iteration program.
+
+        ``metrics`` leaves have shape ``(chunk,)`` (see train.make_multi_step);
+        the single host fetch here forces device completion, so the measured
+        wall time divided by the chunk length is the honest per-iteration
+        speed (the reference's "hours per 100 iters" metric).
+        """
+        import numpy as np
+
+        host = {k: np.asarray(v) for k, v in metrics.items()}
+        now = time.time()
+        n = max(v.shape[0] for v in host.values() if v.ndim)
+        dt = (now - t_start) / n
+        recs = []
+        for i in range(n):
+            rec = {"step": int(first_step + i)}
+            for k, v in host.items():
+                rec[k] = float(v[i]) if v.ndim else float(v)
+            rec["iter_seconds"] = dt
+            rec["hours_per_100_iters"] = dt * 100 / 3600
+            recs.append(rec)
+            if self._fh:
+                self._fh.write(json.dumps(rec) + "\n")
+        if self._fh:
+            self._fh.flush()
+        self._last_t = now
+        return recs
+
     def close(self):
         if self._fh:
             self._fh.close()

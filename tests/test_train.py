@@ -241,3 +241,53 @@ def test_beta_persistent_sampling_unbiased():
     assert 0.0 < np.mean(sw) < 0.1, sw
     for err, sem in _per_state_virial_errors(state, model):
         assert err < 4 * sem + 0.05, (err, sem)
+
+
+def test_multi_step_matches_sequential_single_steps():
+    """K iterations scanned inside one program (train.make_multi_step) must
+    reproduce the K-sequential-dispatch trajectory exactly: same final params
+    and the stacked (K,) metrics equal to the per-iteration values."""
+    from fermiflow_tpu.train import make_multi_step
+
+    cfg = small_gs_cfg(Z=1.0, batch=64, persistent_walkers=True)
+    model, params = common.build_gs(cfg)
+    opt = optax.adam(1e-2)
+
+    state_a = init_gs_state(model, params, cfg, opt)
+    step = make_gs_train_step(model, opt, cfg)
+    seq_E, seq_loss = [], []
+    for _ in range(4):
+        state_a, m = step(state_a)
+        seq_E.append(float(m["E"]))
+        seq_loss.append(float(m["loss"]))
+
+    _, params_b = common.build_gs(cfg)
+    state_b = init_gs_state(model, params_b, cfg, opt)
+    raw = make_gs_train_step(model, opt, cfg, jit=False)
+    multi = make_multi_step(raw, 4)
+    state_b, stacked = multi(state_b)
+
+    np.testing.assert_allclose(np.asarray(stacked["E"]), seq_E, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(stacked["loss"]), seq_loss,
+                               rtol=1e-9, atol=1e-12)
+    for a, b in zip(jax.tree.leaves(state_a.params),
+                    jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+
+def test_metrics_logger_log_many(tmp_path):
+    import json
+    import time
+
+    from fermiflow_tpu.utils import MetricsLogger
+
+    p = str(tmp_path / "m.jsonl")
+    lg = MetricsLogger(p)
+    stacked = {"E": jnp.asarray([5.0, 4.5, 4.25]),
+               "accept_rate": jnp.asarray([0.5, 0.6, 0.7])}
+    rows = lg.log_many(11, stacked, time.time() - 0.3)
+    lg.close()
+    lines = [json.loads(l) for l in open(p)]
+    assert [r["step"] for r in lines] == [11, 12, 13]
+    assert lines[2]["E"] == 4.25 and lines[0]["accept_rate"] == 0.5
+    assert all(abs(r["iter_seconds"] - 0.1) < 0.05 for r in rows)
