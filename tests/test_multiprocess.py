@@ -31,9 +31,14 @@ def _spawn(port, nproc, pid, iternum, ckpt_dir):
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = ""
     # Both ranks compile the identical SPMD program and the resume phase
-    # repeats it; a shared persistent cache keeps the test fast.
-    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
-        os.path.dirname(ckpt_dir), "jax_cache"
+    # repeats it; a PERSISTENT shared cache (not tmp_path — that would
+    # recompile cold on every pytest invocation) keeps the ranks within
+    # milliseconds of each other at the gloo rendezvous, whose KV-store
+    # wait has a hard 30 s deadline that a cold compile on a loaded host
+    # can miss.
+    env["JAX_COMPILATION_CACHE_DIR"] = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/fermiflow_tpu/jax_mp_cache"),
     )
     cmd = [
         sys.executable, "-m", "fermiflow_tpu.cli.ground_state",
@@ -50,7 +55,7 @@ def _spawn(port, nproc, pid, iternum, ckpt_dir):
     )
 
 
-def _run_pair(iternum, ckpt_dir):
+def _run_pair(iternum, ckpt_dir, _retried=False):
     port = _free_port()
     procs = [_spawn(port, 2, pid, iternum, ckpt_dir) for pid in (0, 1)]
     try:
@@ -59,6 +64,15 @@ def _run_pair(iternum, ckpt_dir):
         for p in procs:  # never leave orphans behind on timeout/failure
             if p.poll() is None:
                 p.kill()
+    if not _retried and any(p.returncode != 0 for p in procs) and any(
+        "DEADLINE_EXCEEDED" in out for out in outs
+    ) and not any("iter:" in out for out in outs):
+        # (no "iter:" = the failure was at bring-up, before any checkpoint
+        # was written, so rerunning with the same ckpt_dir is clean)
+        # First-ever (cold-cache) run on an oversubscribed host can blow the
+        # 30 s gloo rendezvous deadline while one rank is still compiling;
+        # the compile is cached now, so one retry is deterministic-fast.
+        return _run_pair(iternum, ckpt_dir, _retried=True)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"rank failed:\n{out[-4000:]}"
     return outs
