@@ -97,7 +97,7 @@ def _fetch(x):
     return np.asarray(x)
 
 
-def _time_reps(run, *args, reps):
+def _time_reps(run, *args):
     out = run(*args)
     _fetch(jax.tree_util.tree_leaves(out)[-1])  # compile + warm
     t0 = time.perf_counter()
@@ -172,9 +172,8 @@ def main():
         return run_epochs
 
     REPS = 50
-    dt_total, (x, acc) = _time_reps(make_epochs(REPS), key, x0, reps=None)
-    dt1, _ = _time_reps(make_epochs(1), jax.random.fold_in(key, 5), x0,
-                        reps=None)
+    dt_total, (x, acc) = _time_reps(make_epochs(REPS), key, x0)
+    dt1, _ = _time_reps(make_epochs(1), jax.random.fold_in(key, 5), x0)
     dt = dt_total / REPS
     walker_steps_per_s = BATCH * MCMC_STEPS / dt
     # dt1 = overhead + 1 chain; dt_total = overhead + REPS chains.
@@ -224,7 +223,7 @@ def main():
             0, REPS, body, (x0, jnp.zeros((BATCH,), dtype))
         )
 
-    dt_ms, (_, acc_ms) = _time_reps(run_epochs_ms, key, x0, reps=None)
+    dt_ms, (_, acc_ms) = _time_reps(run_epochs_ms, key, x0)
     ms_wps = BATCH * MCMC_STEPS * REPS / dt_ms
 
     # ---- GS full train step (sample + local energy + grad + Adam) ----

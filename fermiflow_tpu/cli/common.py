@@ -119,22 +119,26 @@ def run_training_loop(state, start_step, cfg, args, make_step, logger,
     if K == 1:
         step_fn = make_step(True)
         profiling = None
-        for i in range(start_step + 1, cfg.iternum + 1):
-            if args.profile_dir and i == 2:
-                profiling = trace(args.profile_dir)
-                profiling.__enter__()
-            state, metrics = step_fn(state)
-            rec = logger.log(i, metrics)
-            if profiling is not None and i == 4:
-                import numpy as _np
+        try:
+            for i in range(start_step + 1, cfg.iternum + 1):
+                if args.profile_dir and i == 2:
+                    profiling = trace(args.profile_dir)
+                    profiling.__enter__()
+                state, metrics = step_fn(state)
+                rec = logger.log(i, metrics)
+                if profiling is not None and i == 4:
+                    import numpy as _np
 
-                _np.asarray(metrics["E"])  # flush device work into the trace
+                    _np.asarray(metrics["E"])  # flush device work into trace
+                    profiling.__exit__(None, None, None)
+                    profiling = None
+                if primary:
+                    print_row(rec)
+                if cfg.checkpoint_dir and i % cfg.checkpoint_every == 0:
+                    save_checkpoint(cfg.checkpoint_dir, i, state)
+        finally:
+            if profiling is not None:  # iternum < 4 or mid-loop exception
                 profiling.__exit__(None, None, None)
-                profiling = None
-            if primary:
-                print_row(rec)
-            if cfg.checkpoint_dir and i % cfg.checkpoint_every == 0:
-                save_checkpoint(cfg.checkpoint_dir, i, state)
         return state
 
     raw_step = make_step(False)

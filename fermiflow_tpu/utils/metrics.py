@@ -51,7 +51,11 @@ class MetricsLogger:
 
         host = {k: np.asarray(v) for k, v in metrics.items()}
         now = time.time()
-        n = max(v.shape[0] for v in host.values() if v.ndim)
+        n = max((v.shape[0] for v in host.values() if v.ndim), default=None)
+        if n is None:
+            raise ValueError(
+                "log_many expects stacked (chunk,) metric leaves from a "
+                "multi-iteration program; got only scalars — use log()")
         dt = (now - t_start) / n
         recs = []
         for i in range(n):

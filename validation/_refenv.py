@@ -29,6 +29,38 @@ torch.set_default_dtype(torch.float64)
 
 import NeuralODE.nnModule as nnm  # noqa: E402
 
+# --- Host-side NaN fix for the reference's second-order backward ---------
+#
+# ``Backflow._e_e_divergence`` (``/root/reference/src/equivariant_funs.py:
+# 33-50``) computes ``rij.norm(dim=-1)`` over the FULL pair matrix —
+# including the exactly-zero diagonal — and only then slices to the
+# off-diagonal pairs.  norm's FIRST backward is special-cased to 0 at the
+# origin, but its SECOND backward there is 0/0 = NaN on this host's torch.
+# That NaN enters the doubly-augmented adjoint ODE that
+# ``y_grad_laplacian`` (``src/utils.py:40-65``) integrates for every
+# laplacian component, and scipy RK45 then loops forever (error estimate
+# NaN -> step rejected -> dt *= NaN; measured: >12 h per solve at any
+# batch, t=NaN — see validation/diag_ref_laplacian.py and diag_ref_nan.py).
+#
+# The fix is a numerical IDENTITY: select the off-diagonal pairs FIRST,
+# then take the norm.  Forward output is torch.equal-identical; the only
+# change is that the dead zero-diagonal branch never enters the autograd
+# graph.  Without this patch the reference's local energy is not
+# computable at all via its only runnable backend here (scipy/CPU).
+import equivariant_funs as _eqf  # noqa: E402
+
+
+def _e_e_divergence_no_diag(self, x):
+    _, n, dim = x.shape
+    row_indices, col_indices = torch.triu_indices(n, n, offset=1)
+    rij = (x[:, :, None] - x[:, None])[:, row_indices, col_indices, :]
+    dij = rij.norm(dim=-1, keepdim=True)
+    eta, d_eta = self.eta(dij), self.eta.grad(dij)
+    return 2 * (d_eta * dij + dim * eta).sum(dim=(-2, -1))
+
+
+_eqf.Backflow._e_e_divergence = _e_e_divergence_no_diag
+
 _orig_solve = nnm.solve_ivp_nnmodule
 
 

@@ -4,7 +4,9 @@ Loads fermiflow_tpu-trained backflow parameters into the reference's torch
 modules and compares log p(x) = 2 log |psi(x)| pointwise: the reference
 integrates its reverse likelihood ODE with adaptive scipy (rtol=1e-6,
 atol=1e-8, ``/root/reference/src/NeuralODE/nnModule.py:49-61``), ours with
-the fixed-grid dopri5 production solver (config default ode_steps=16).
+the fixed-grid dopri5 production solver (N=3 check at ode_steps=16;
+the production default is ode_steps=8, config.py, backed by
+validation/ode_steps_study.py).
 
 Recorded result (docs/VALIDATION.md): max |Δlogp| ≈ 1e-10 over random
 positions at the converged N=3 Z=0.5 parameters — the two frameworks

@@ -1,6 +1,6 @@
 """Error vs ode_steps at TRAINED parameters (VERDICT r1 item 7).
 
-Justifies the production fixed-grid default (config.py ode_steps=16) against
+Justifies the production fixed-grid default (config.py ode_steps=8) against
 the reference's adaptive dopri5 at rtol=1e-6/atol=1e-8
 (``/root/reference/src/NeuralODE/nnModule.py:162``): at the CONVERGED N=6
 flagship parameters, measures for each grid size
