@@ -51,6 +51,15 @@ HBM_BYTES_PER_S = 819e9
 NUP = 6
 BATCH = 8192
 MCMC_STEPS = 100
+# Chains per timed program: enough that the fixed ~30 ms program-dispatch
+# latency of this tunneled platform is amortized below ~10% — the headline
+# "sustained" rate then reflects the production configuration, where the
+# sampler shares one program with K scanned training iterations
+# (--steps-per-call) rather than paying a launch per chain.
+REPS = 1000
+# Training iterations scanned per program in the timed train step — the
+# shipped production mode (train.make_multi_step / --steps-per-call).
+TRAIN_REPS = 20
 
 
 def _sampler_flops(n: int, K: int, dim: int = 2) -> float:
@@ -171,7 +180,6 @@ def main():
 
         return run_epochs
 
-    REPS = 50
     dt_total, (x, acc) = _time_reps(make_epochs(REPS), key, x0)
     dt1, _ = _time_reps(make_epochs(1), jax.random.fold_in(key, 5), x0)
     dt = dt_total / REPS
@@ -245,25 +253,77 @@ def main():
     optimizer = optax.adam(cfg.lr)
     state = init_gs_state(model, params, cfg, optimizer)
     raw_step = make_gs_train_step(model, optimizer, cfg, jit=False)
-    REPS2 = 5
 
     @jax.jit
     def multi_step(state):
         def body(s, _):
             s2, m = raw_step(s)
             return s2, m["E"]
-        return jax.lax.scan(body, state, None, length=REPS2)
+        return jax.lax.scan(body, state, None, length=TRAIN_REPS)
 
     state, Es = multi_step(state)
     _fetch(Es)  # compile + warmup (donation layout settles on call 2)
     t0 = time.perf_counter()
     state, Es = multi_step(state)
     _fetch(Es)
-    step_s = (time.perf_counter() - t0) / REPS2
+    step_s = (time.perf_counter() - t0) / TRAIN_REPS
+
+    # ---- isolated kernel timings (measured roofline, not estimates) ----
+    d_eta, d_mu = 50, 50
+    kernel_fields = {}
+    if on_tpu:
+        from fermiflow_tpu.ops.pallas_hessian_flow import hessian_flow_pallas
+        from fermiflow_tpu.ops.pallas_reinforce import (
+            reinforce_flow_grad_pallas,
+        )
+        from fermiflow_tpu.vmc.hessian_flow import base_val_grad_hess
+
+        tparams = state.params
+        z_eq = state.walkers
+        y0k, g0k, H0k = jax.jit(
+            lambda zz: base_val_grad_hess(
+                lambda zs: bd.log_prob(occ, (), zs), zz)
+        )(z_eq)
+        KR = 20
+
+        @jax.jit
+        def run_hflow(p, z, y0, g0, H0):
+            def body(i, acc):
+                x, lp, g, H = hessian_flow_pallas(
+                    p, z, y0 + 0.0 * i, g0, H0, 0.0, 1.0,
+                    steps=cfg.ode_steps, method="dopri5")
+                return acc + lp.sum() + jnp.trace(
+                    H, axis1=-2, axis2=-1).sum()
+            return jax.lax.fori_loop(0, KR, body, jnp.zeros((), jnp.float32))
+
+        dt_k, _ = _time_reps(run_hflow, tparams, z_eq, y0k, g0k, H0k)
+        kernel_fields["hflow_kernel_seconds"] = round(dt_k / KR, 5)
+        hflops = _hflow_flops(NUP, d_eta, d_mu) * 7 * cfg.ode_steps * BATCH
+        kernel_fields["hflow_kernel_vpu_util"] = round(
+            hflops / (dt_k / KR) / VPU_PEAK_FLOPS, 4)
+
+        xk, _, gk, _ = jax.jit(
+            lambda p, z, y0, g0, H0: hessian_flow_pallas(
+                p, z, y0, g0, H0, 0.0, 1.0, steps=cfg.ode_steps,
+                method="dopri5")
+        )(tparams, z_eq, y0k, g0k, H0k)
+        wk = jax.random.normal(jax.random.PRNGKey(9), (BATCH,), dtype) / BATCH
+
+        @jax.jit
+        def run_reinforce(p, x, g, w):
+            def body(i, acc):
+                grads, _ = reinforce_flow_grad_pallas(
+                    p, x, g, w + 0.0 * i, 0.0, 1.0,
+                    steps=cfg.ode_steps, method="dopri5")
+                return acc + sum(jnp.sum(l) for l in
+                                 jax.tree_util.tree_leaves(grads))
+            return jax.lax.fori_loop(0, KR, body, jnp.zeros((), jnp.float32))
+
+        dt_r, _ = _time_reps(run_reinforce, tparams, xk, gk, wk)
+        kernel_fields["reinforce_kernel_seconds"] = round(dt_r / KR, 5)
 
     # Hessian-flow roofline for the train step: stages = 7 evals (dopri5)
     # x ode_steps; the engine also pays the base val/grad/Hess + flow logp.
-    d_eta, d_mu = 50, 50
     hflops_step = _hflow_flops(NUP, d_eta, d_mu) * 7 * cfg.ode_steps * BATCH
     train_gflops = hflops_step / step_s / 1e9
 
@@ -284,14 +344,14 @@ def main():
         def body(s, _):
             s2, m = raw_bstep(s)
             return s2, (m["F"], m["E"], m["S"])
-        return jax.lax.scan(body, state, None, length=REPS2)
+        return jax.lax.scan(body, state, None, length=TRAIN_REPS)
 
     bstate, Fs = multi_bstep(bstate)
     _fetch(Fs[0])
     t0 = time.perf_counter()
     bstate, Fs = multi_bstep(bstate)
     _fetch(Fs[0])
-    bstep_s = (time.perf_counter() - t0) / REPS2
+    bstep_s = (time.perf_counter() - t0) / TRAIN_REPS
 
     print(
         json.dumps(
@@ -325,9 +385,15 @@ def main():
                 ),
                 "beta_step_seconds": round(bstep_s, 4),
                 "beta_F": float(_fetch(Fs[0])[-1]),
-                "hbm_bandwidth_util": round(
-                    2 * BATCH * NUP * 2 * 4 / dt / HBM_BYTES_PER_S, 6
+                # Sampler-kernel HBM traffic only (walker state in + out per
+                # chain launch over the marginal chain time) — the kernels
+                # keep all state in VMEM, so this is the kernel's entire HBM
+                # footprint, NOT a whole-step roofline statement.
+                "sampler_hbm_rw_fraction": round(
+                    2 * BATCH * NUP * 2 * 4
+                    / max(marginal_per_chain, 1e-9) / HBM_BYTES_PER_S, 6
                 ),
+                **kernel_fields,
                 "platform": jax.devices()[0].platform,
             }
         )

@@ -68,6 +68,10 @@ def add_flags(parser: argparse.ArgumentParser, finite_t: bool):
     parser.add_argument("--movie-walkers", type=int, default=2000)
     parser.add_argument("--no-pallas-sampler", action="store_true",
                         help="disable the fused TPU Metropolis kernel")
+    parser.add_argument("--no-pallas-reinforce", action="store_true",
+                        help="compute the REINFORCE gradient by autodiff "
+                             "through the reverse-ODE logp instead of the "
+                             "fused adjoint kernel")
     parser.add_argument("--no-pallas-local-energy", action="store_true",
                         help="disable the fused TPU Hessian-flow kernel")
     parser.add_argument("--local-energy", type=str, default=d.local_energy,
@@ -94,6 +98,15 @@ def add_flags(parser: argparse.ArgumentParser, finite_t: bool):
                              "jax.distributed.initialize (multi-host)")
     parser.add_argument("--num-processes", type=int, default=None)
     parser.add_argument("--process-id", type=int, default=None)
+    parser.add_argument("--init-timeout", type=int, default=120,
+                        help="jax.distributed.initialize barrier timeout "
+                             "(seconds) — covers process start-up skew at "
+                             "multi-host bring-up")
+    parser.add_argument("--pallas-interpret", action="store_true",
+                        help="run the Pallas kernels in the TPU interpreter "
+                             "on the CPU backend (test/CI path; the "
+                             "Metropolis kernel is excluded because "
+                             "interpret mode stubs its on-core PRNG)")
 
 
 def run_training_loop(state, start_step, cfg, args, make_step, logger,
@@ -181,7 +194,8 @@ def maybe_init_distributed(args) -> bool:
     from fermiflow_tpu.parallel.mesh import init_distributed
 
     multi = init_distributed(
-        args.coordinator, args.num_processes, args.process_id
+        args.coordinator, args.num_processes, args.process_id,
+        initialization_timeout=getattr(args, "init_timeout", 120),
     )
     if multi:
         args.shard = True
@@ -235,6 +249,17 @@ def config_from_args(args, finite_t: bool) -> Config:
         and cfg.local_energy in ("auto", "hessian_flow")
         and jax.default_backend() == "tpu"
     )
+    cfg.pallas_reinforce = not args.no_pallas_reinforce
+    if getattr(args, "pallas_interpret", False):
+        # CI path: exercise the fused Hessian-flow kernel (deterministic; the
+        # Metropolis kernel stays off — interpret mode stubs prng_random_bits
+        # to zeros, which would corrupt sampling).
+        cfg.pallas_interpret = True
+        cfg.pallas_local_energy = (
+            not args.no_pallas_local_energy
+            and cfg.dtype == "float32"
+            and cfg.local_energy in ("auto", "hessian_flow")
+        )
     return cfg
 
 

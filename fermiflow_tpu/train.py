@@ -223,7 +223,16 @@ def make_gs_train_step(model: GSVMC, optimizer, cfg: Config, mesh=None,
         ms = sample_base(k_mcmc, z0, n_steps, tau)
         z = _constrain(ms.x, wshard)
 
-        if _use_hessian_flow(cfg, model.cnf):
+        if _use_hessian_flow(cfg, model.cnf) and le_backend == "pallas" \
+                and cfg.pallas_reinforce:
+            # Fully fused path: Eloc from the forward Hessian-flow kernel,
+            # the REINFORCE parameter gradient from the closed-form adjoint
+            # kernel — no autodiff through the flow at all.
+            loss, metrics, grads = model.loss_metrics_grads_pallas(
+                state.params, z,
+                pallas_interpret=cfg.pallas_interpret, mesh=mesh,
+            )
+        elif _use_hessian_flow(cfg, model.cnf):
             # Forward augmented flow: Eloc straight from the base samples.
             loss_fn = lambda p, zz: model.loss_and_metrics_from_base(
                 p, zz, backend=le_backend,
@@ -359,7 +368,13 @@ def make_beta_train_step(model: BetaVMC, optimizer, cfg: Config, mesh=None,
         ms = sample_base(k_mcmc, state_idx, z0, n_steps, tau)
         z = _constrain(ms.x, wshard)
 
-        if _use_hessian_flow(cfg, model.cnf):
+        if _use_hessian_flow(cfg, model.cnf) and le_backend == "pallas" \
+                and cfg.pallas_reinforce:
+            loss, metrics, grads = model.loss_metrics_grads_pallas(
+                state.params, state_idx, z,
+                pallas_interpret=cfg.pallas_interpret, mesh=mesh,
+            )
+        elif _use_hessian_flow(cfg, model.cnf):
             loss_fn = lambda p, idx, zz: model.loss_and_metrics_from_base(
                 p, idx, zz, backend=le_backend,
                 pallas_interpret=cfg.pallas_interpret, mesh=mesh,

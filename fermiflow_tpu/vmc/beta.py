@@ -132,7 +132,7 @@ class BetaVMC:
     def local_energy_from_base(self, flow_params, state_idx: jax.Array,
                                z: jax.Array, backend: str = "xla",
                                pallas_interpret: bool = False,
-                               mesh=None):
+                               mesh=None, return_grad: bool = False):
         """(x, eloc, logp) via the forward augmented flow, each walker in its
         own Slater state (see GSVMC.local_energy_from_base)."""
         from fermiflow_tpu.vmc.hessian_flow import local_energy_flow
@@ -154,6 +154,7 @@ class BetaVMC:
             backend=backend,
             pallas_interpret=pallas_interpret,
             mesh=mesh,
+            return_grad=return_grad,
         )
 
     def loss_and_metrics_from_base(self, params, state_idx: jax.Array,
@@ -169,6 +170,74 @@ class BetaVMC:
         x = jax.lax.stop_gradient(x)
         eloc = jax.lax.stop_gradient(eloc)
         return self._losses_from_eloc(params, state_idx, x, eloc)
+
+    def loss_metrics_grads_pallas(self, params, state_idx: jax.Array,
+                                  z: jax.Array,
+                                  pallas_interpret: bool = False, mesh=None):
+        """(loss, metrics, grads) with NO autodiff through the flow.
+
+        Finite-T analog of ``GSVMC.loss_metrics_grads_pallas``: the
+        theta-loss gradient mean[logp·(Eloc − per-state baseline)] comes from
+        the fused adjoint kernel seeded with the state-CONDITIONAL score
+        g = grad_x log p(x|s) (the forward mixed-state Hessian flow already
+        computes it); the phi loss touches only the occupation logits and
+        stays a trivial autodiff.
+        """
+        from fermiflow_tpu.ops.pallas_reinforce import (
+            reinforce_flow_grad_pallas,
+            reinforce_flow_grad_pallas_sharded,
+        )
+
+        flow_sg = jax.lax.stop_gradient(params["flow"])
+        x, eloc, logp, g = self.local_energy_from_base(
+            flow_sg, state_idx, z, backend="pallas",
+            pallas_interpret=pallas_interpret, mesh=mesh, return_grad=True,
+        )
+        x, eloc, logp, g = jax.lax.stop_gradient((x, eloc, logp, g))
+
+        logits = params["log_state_weights"]
+        logp_states_all = jax.nn.log_softmax(logits)
+        logp_states_sg = jax.lax.stop_gradient(logp_states_all)[state_idx]
+        floc = eloc + logp_states_sg / self.beta
+        E, E_std = jnp.mean(eloc), jnp.std(eloc)
+        F, F_std = jnp.mean(floc), jnp.std(floc)
+        S = -jnp.mean(logp_states_sg)
+        S_analytical = -jnp.sum(
+            jax.lax.stop_gradient(logp_states_all * jnp.exp(logp_states_all))
+        )
+
+        # phi loss: logits only — value_and_grad is a few flops.
+        def phi_loss(lg):
+            lps = jax.nn.log_softmax(lg)[state_idx]
+            return jnp.mean(lps * (floc - F))
+
+        loss_phi, grad_logits = jax.value_and_grad(phi_loss)(logits)
+
+        # theta loss gradient via the fused adjoint kernel.
+        ones = jnp.ones_like(eloc)
+        counts = jax.ops.segment_sum(ones, state_idx, num_segments=self.Nstates)
+        sums = jax.ops.segment_sum(eloc, state_idx, num_segments=self.Nstates)
+        eloc_baseline = (sums / jnp.maximum(counts, 1.0))[state_idx]
+        w = (eloc - eloc_baseline) / eloc.shape[0]
+        if mesh is not None:
+            grads_flow, _ = reinforce_flow_grad_pallas_sharded(
+                mesh, params["flow"], x, g, w, self.cnf.t0, self.cnf.t1,
+                steps=self.cnf.steps, method=self.cnf.method,
+                interpret=pallas_interpret,
+            )
+        else:
+            grads_flow, _ = reinforce_flow_grad_pallas(
+                params["flow"], x, g, w, self.cnf.t0, self.cnf.t1,
+                steps=self.cnf.steps, method=self.cnf.method,
+                interpret=pallas_interpret,
+            )
+        loss = loss_phi + jnp.sum(w * logp)
+        metrics = {
+            "E": E, "E_std": E_std, "F": F, "F_std": F_std,
+            "S": S, "S_analytical": S_analytical,
+        }
+        return loss, metrics, {"flow": grads_flow,
+                               "log_state_weights": grad_logits}
 
     # -- loss & estimators --
 

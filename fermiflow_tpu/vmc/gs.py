@@ -133,7 +133,7 @@ class GSVMC:
     def local_energy_from_base(self, params, z: jax.Array,
                                backend: str = "xla",
                                pallas_interpret: bool = False,
-                               mesh=None):
+                               mesh=None, return_grad: bool = False):
         """(x, eloc, logp) via the forward augmented flow (vmc/hessian_flow).
 
         One forward integration of (x, logp, grad logp, Hessian) from the
@@ -158,6 +158,7 @@ class GSVMC:
             backend=backend,
             pallas_interpret=pallas_interpret,
             mesh=mesh,
+            return_grad=return_grad,
         )
 
     def loss_and_metrics_from_base(self, params, z: jax.Array,
@@ -180,3 +181,45 @@ class GSVMC:
         E_std = jnp.std(eloc)
         loss = jnp.mean((eloc - E) * logp)
         return loss, {"E": E, "E_std": E_std}
+
+    def loss_metrics_grads_pallas(self, params, z: jax.Array,
+                                  pallas_interpret: bool = False, mesh=None):
+        """(loss, metrics, grads) with NO autodiff through the flow.
+
+        The gradient of the REINFORCE surrogate is computed by the fused
+        adjoint kernel (``ops/pallas_reinforce.py``) from quantities the
+        forward Hessian-flow kernel already produces: the generated x, the
+        score g = grad_x log p(x) (terminal adjoint seed) and log p(x) (the
+        loss value) — the reverse ODE solve + VJP of ``loss_and_metrics_
+        from_base`` (87% of the measured step time) disappears entirely.
+        Estimator-identical to ``loss_and_metrics_from_base`` up to the
+        fixed grid's reversal error (~1e-10 relative at trained fields,
+        validation/runs/ode_steps_n6.json).
+        """
+        from fermiflow_tpu.ops.pallas_reinforce import (
+            reinforce_flow_grad_pallas,
+            reinforce_flow_grad_pallas_sharded,
+        )
+
+        x, eloc, logp, g = self.local_energy_from_base(
+            jax.lax.stop_gradient(params), z, backend="pallas",
+            pallas_interpret=pallas_interpret, mesh=mesh, return_grad=True,
+        )
+        x, eloc, logp, g = jax.lax.stop_gradient((x, eloc, logp, g))
+        E = jnp.mean(eloc)
+        E_std = jnp.std(eloc)
+        w = (eloc - E) / eloc.shape[0]
+        if mesh is not None:
+            grads, _ = reinforce_flow_grad_pallas_sharded(
+                mesh, params, x, g, w, self.cnf.t0, self.cnf.t1,
+                steps=self.cnf.steps, method=self.cnf.method,
+                interpret=pallas_interpret,
+            )
+        else:
+            grads, _ = reinforce_flow_grad_pallas(
+                params, x, g, w, self.cnf.t0, self.cnf.t1,
+                steps=self.cnf.steps, method=self.cnf.method,
+                interpret=pallas_interpret,
+            )
+        loss = jnp.sum(w * logp)
+        return loss, {"E": E, "E_std": E_std}, grads

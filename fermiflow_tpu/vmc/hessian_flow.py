@@ -133,6 +133,7 @@ def local_energy_flow(
     backend: str = "xla",
     pallas_interpret: bool = False,
     mesh=None,
+    return_grad: bool = False,
 ):
     """Per-walker local energies from base samples, one forward pass.
 
@@ -151,7 +152,9 @@ def local_energy_flow(
 
     Returns:
       (x, eloc, logp): generated positions, local energies and log p(x),
-      shapes (batch, n, dim), (batch,), (batch,).
+      shapes (batch, n, dim), (batch,), (batch,).  With ``return_grad`` also
+      the score g = grad_x log p at x, (batch, n*dim) — the terminal adjoint
+      seed of the fused REINFORCE-gradient kernel (ops/pallas_reinforce.py).
     """
     y0, g0, H0 = base_val_grad_hess(base_logp_single, z, *base_args)
     if backend == "pallas":
@@ -177,4 +180,7 @@ def local_energy_flow(
         )
     lap = jnp.trace(H, axis1=-2, axis2=-1)
     kinetic = -0.25 * lap - 0.125 * jnp.sum(g**2, axis=-1)
-    return x, kinetic + potential(x), logp
+    eloc = kinetic + potential(x)
+    if return_grad:
+        return x, eloc, logp, g
+    return x, eloc, logp

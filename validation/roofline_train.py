@@ -1,0 +1,225 @@
+"""Measure — not estimate — where the GS train step's time goes on the chip.
+
+VERDICT r2 weak #4: the train step ran at ~5% of VPU peak by a hand-counted
+FLOP estimate over the WHOLE step, with the fused Hessian-flow kernel never
+timed in isolation.  This driver times each stage of the production train
+step (N=6, batch 8192, ode_steps 8, dopri5, f32, Pallas engines) separately,
+with the reps-inside-one-program protocol (per-dispatch tunnel latency is
+O(30 ms) and block_until_ready does not reliably block on this platform):
+
+  1. sampler        : fused Pallas Metropolis chain (mcmc_steps steps)
+  2. bvgh           : base (logp, grad, Hessian) at z — jacfwd-of-jacrev
+                      through the Slater log-density (one-time per step)
+  3. hflow_kernel   : the fused Pallas Hessian-flow integrator alone
+  4. hflow_xla      : the same augmented integration on the XLA engine
+  5. logp_vjp       : value_and_grad of the REINFORCE surrogate's only
+                      param-differentiable piece, mean(w * log_prob(params, x))
+                      (reverse fixed-grid ODE + rematerialized backward)
+  6. full_step      : the complete jitted train step (sample + Eloc + grad +
+                      Adam), scanned REPS times
+
+Writes one JSON with per-stage seconds, the kernel's achieved fraction of
+the v5e VPU peak from the same hand-counted per-stage FLOPs bench.py uses,
+and the unattributed residual.  Run on the TPU:
+
+    JAX_COMPILATION_CACHE_DIR=/root/.jax_cache python validation/roofline_train.py \
+        --out validation/runs/roofline_train.json
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from bench import VPU_PEAK_FLOPS, _hflow_flops, _sampler_flops
+from fermiflow_tpu.config import Config
+from fermiflow_tpu.ops.pallas_hessian_flow import hessian_flow_pallas
+from fermiflow_tpu.ops.pallas_metropolis import metropolis_free_fermion
+from fermiflow_tpu.physics import HO2D, FreeFermion
+from fermiflow_tpu.train import init_gs_state, make_gs_train_step
+from fermiflow_tpu.vmc.hessian_flow import base_val_grad_hess, hessian_flow
+from __graft_entry__ import _build
+
+
+def timed(fn, *args, reps, fetch=lambda out: jax.tree_util.tree_leaves(out)[0]):
+    """Median-of-3 of (one jitted program containing `reps` inner reps)."""
+    out = fn(*args)
+    np.asarray(fetch(out))  # compile + warm (donation layout settles on 2nd)
+    out = fn(*args)
+    np.asarray(fetch(out))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        np.asarray(fetch(out))
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[1] / reps, out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--nup", type=int, default=6)
+    p.add_argument("--batch", type=int, default=8192)
+    p.add_argument("--ode-steps", type=int, default=8)
+    p.add_argument("--mcmc-steps", type=int, default=100)
+    p.add_argument("--reps", type=int, default=20)
+    p.add_argument("--skip-xla-engine", action="store_true")
+    p.add_argument("--out", type=str, default=None)
+    args = p.parse_args()
+
+    assert jax.devices()[0].platform == "tpu", "roofline runs on the chip"
+    N, B, STEPS, REPS = args.nup, args.batch, args.ode_steps, args.reps
+    dtype = jnp.float32
+
+    cfg = Config(nup=N, Z=0.5, batch=B, ode_steps=STEPS,
+                 equilibrium_steps=args.mcmc_steps, laplacian_chunk=512,
+                 lr=1e-3, pallas_sampler=True, pallas_local_energy=True,
+                 dtype="float32")
+    model, params0 = _build(dtype, nup=N, ode_steps=STEPS, laplacian_chunk=512)
+    # Trained-scale parameters: zeros would let XLA fold the field away.
+    params = jax.tree_util.tree_map(
+        lambda x: 5e-2 * jax.random.normal(jax.random.PRNGKey(7), x.shape,
+                                           x.dtype), params0)
+
+    orb = HO2D()
+    occ = np.arange(N, dtype=np.int32)
+    nx_occ = tuple(int(v) for v in orb.nx[occ])
+    ny_occ = tuple(int(v) for v in orb.ny[occ])
+    kshells = int(max(nx_occ + ny_occ)) + 1
+
+    key = jax.random.PRNGKey(0)
+    z0 = jax.random.normal(key, (B, N, 2), dtype=dtype)
+
+    # Equilibrate once so every stage sees realistic walkers.
+    @jax.jit
+    def equil(z):
+        x, _, _ = metropolis_free_fermion(z, 1234, 0.1, 300, nx_occ, ny_occ,
+                                          kshells)
+        return x
+    z = equil(z0)
+
+    res = {"config": {"N": N, "batch": B, "ode_steps": STEPS,
+                      "mcmc_steps": args.mcmc_steps, "reps": REPS,
+                      "method": "dopri5", "d_eta": 50, "d_mu": 50}}
+
+    # ---- 1. sampler chain ----
+    @jax.jit
+    def run_sampler(z):
+        def body(i, carry):
+            x, _ = carry
+            x2, _, acc = metropolis_free_fermion(
+                x, 17 + i, 0.1, args.mcmc_steps, nx_occ, ny_occ, kshells)
+            return x2, acc
+        return jax.lax.fori_loop(0, REPS, body,
+                                 (z, jnp.zeros((B,), dtype)))
+    t_sampler, _ = timed(run_sampler, z, reps=REPS)
+    res["sampler_s"] = t_sampler
+
+    # ---- 2. base val/grad/hess ----
+    bd = FreeFermion(orb)
+    base_logp_single = lambda zs: bd.log_prob(occ, (), zs)
+
+    @jax.jit
+    def run_bvgh(z):
+        def body(i, acc):
+            y, g, H = base_val_grad_hess(base_logp_single, z + 0.0 * i)
+            return acc + y.sum() + g.sum() + H.sum()
+        return jax.lax.fori_loop(0, REPS, body, jnp.zeros((), dtype))
+    t_bvgh, _ = timed(run_bvgh, z, reps=REPS, fetch=lambda o: o)
+    res["bvgh_s"] = t_bvgh
+
+    y0, g0, H0 = jax.jit(
+        lambda z: base_val_grad_hess(base_logp_single, z))(z)
+
+    # ---- 3. fused Pallas Hessian-flow kernel ----
+    @jax.jit
+    def run_kernel(params, z, y0, g0, H0):
+        def body(i, acc):
+            x, lp, g, H = hessian_flow_pallas(
+                params, z, y0 + 0.0 * i, g0, H0, 0.0, 1.0, steps=STEPS,
+                method="dopri5")
+            return acc + lp.sum() + jnp.trace(H, axis1=-2, axis2=-1).sum()
+        return jax.lax.fori_loop(0, REPS, body, jnp.zeros((), jnp.float32))
+    t_kernel, _ = timed(run_kernel, params, z, y0, g0, H0, reps=REPS,
+                        fetch=lambda o: o)
+    res["hflow_kernel_s"] = t_kernel
+    stage_flops = _hflow_flops(N, 50, 50) * 7 * STEPS * B
+    res["hflow_kernel_gflops"] = stage_flops / t_kernel / 1e9
+    res["hflow_kernel_vpu_util"] = stage_flops / t_kernel / VPU_PEAK_FLOPS
+
+    # ---- 4. XLA engine for the same integration ----
+    if not args.skip_xla_engine:
+        ft = model.cnf.field_tensors
+
+        @jax.jit
+        def run_xla_engine(params, z, y0, g0, H0):
+            def body(i, acc):
+                x, lp, g, H = hessian_flow(ft, params, z, y0 + 0.0 * i, g0,
+                                           H0, 0.0, 1.0, steps=STEPS,
+                                           method="dopri5")
+                return acc + lp.sum() + jnp.trace(H, axis1=-2, axis2=-1).sum()
+            return jax.lax.fori_loop(0, 3, body, jnp.zeros((), jnp.float32))
+        t_xla, _ = timed(run_xla_engine, params, z, y0, g0, H0, reps=3,
+                         fetch=lambda o: o)
+        res["hflow_xla_s"] = t_xla
+
+    # ---- 5. REINFORCE logp value_and_grad ----
+    @jax.jit
+    def gen_x(params, z):
+        return model.cnf.generate(params, z)
+    x = gen_x(params, z)
+    w = jax.random.normal(jax.random.PRNGKey(3), (B,), dtype)
+
+    def surrogate(p, x, w):
+        return jnp.mean(w * model.log_prob(p, x))
+
+    @jax.jit
+    def run_logp_vjp(params, x, w):
+        def body(i, acc):
+            val, g = jax.value_and_grad(surrogate)(params, x, w + 0.0 * i)
+            return acc + val + sum(jnp.sum(l) for l in
+                                   jax.tree_util.tree_leaves(g))
+        return jax.lax.fori_loop(0, REPS, body, jnp.zeros((), dtype))
+    t_logp, _ = timed(run_logp_vjp, params, x, w, reps=REPS,
+                      fetch=lambda o: o)
+    res["logp_vjp_s"] = t_logp
+
+    # ---- 6. full train step ----
+    optimizer = optax.adam(1e-3)
+    state = init_gs_state(model, params, cfg, optimizer)
+    raw_step = make_gs_train_step(model, optimizer, cfg, jit=False)
+
+    @jax.jit
+    def run_step(state):
+        def body(s, _):
+            s2, m = raw_step(s)
+            return s2, m["E"]
+        return jax.lax.scan(body, state, None, length=REPS)
+    t_step, (state, Es) = timed(run_step, state, reps=REPS,
+                                fetch=lambda o: o[1])
+    res["full_step_s"] = t_step
+    res["train_E"] = float(np.asarray(Es)[-1])
+
+    known = (res["sampler_s"] + res["bvgh_s"] + res["hflow_kernel_s"]
+             + res["logp_vjp_s"])
+    res["sum_of_stages_s"] = known
+    res["residual_s"] = t_step - known
+    res["sampler_wps"] = B * args.mcmc_steps / t_sampler
+    res["sampler_vpu_util"] = (res["sampler_wps"]
+                               * _sampler_flops(N, kshells) / VPU_PEAK_FLOPS)
+
+    print(json.dumps(res, indent=1, default=float))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(res, fh, indent=1, default=float)
+
+
+if __name__ == "__main__":
+    main()
