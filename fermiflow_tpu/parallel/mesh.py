@@ -73,7 +73,8 @@ def shard_walkers(mesh: Mesh, tree):
 
 
 def init_distributed(coordinator_address=None, num_processes=None,
-                     process_id=None) -> bool:
+                     process_id=None, initialization_timeout: int = 120
+                     ) -> bool:
     """Multi-host bring-up wrapper around ``jax.distributed.initialize``.
 
     On single-process runs this is a no-op; on a pod slice (or a localhost
@@ -90,5 +91,9 @@ def init_distributed(coordinator_address=None, num_processes=None,
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
+        # Bring-up barrier: rank start-up skew (imports + backend init on a
+        # loaded host) must fit inside this window; the jax default is 300 s
+        # but an explicit value keeps test hangs bounded.
+        initialization_timeout=initialization_timeout,
     )
     return jax.process_count() > 1

@@ -1,11 +1,23 @@
-"""Multi-process (multi-host analog) integration test.
+"""Multi-process (multi-host analog) integration tests.
 
-Launches the real ground-state CLI twice as separate OS processes wired
-together with ``jax.distributed.initialize`` over localhost (CPU backend,
-gloo collectives) — the single-machine stand-in for a TPU pod slice
-(SURVEY.md §2.4(f)).  Validates: bring-up, global walker sharding with a
-per-process local batch, collective metrics agreeing with physics oracles,
-per-process checkpointing, and resume.
+Launches the real CLIs as pairs of OS processes wired together with
+``jax.distributed.initialize`` over localhost (CPU backend, gloo
+collectives) — the single-machine stand-in for a TPU pod slice
+(SURVEY.md §2.4(f)).  Coverage:
+
+  * ground-state CLI: bring-up, global walker sharding with a per-process
+    local batch, collective metrics agreeing with physics oracles,
+    per-process checkpointing, resume (``test_two_process_cpu_training``);
+  * finite-T CLI: Categorical state draw + maximal-coupling refresh +
+    per-state segment baselines reduced over the 2-process global mesh
+    (``test_two_process_finite_t``);
+  * the fused Pallas Hessian-flow kernel sharded with ``jax.shard_map``
+    across the 2-process mesh, interpret mode (``test_two_process_pallas_
+    hessian_flow``).
+
+Bring-up robustness comes from an explicit ``--init-timeout`` (plumbed to
+``jax.distributed.initialize(initialization_timeout=...)``) plus a shared
+persistent compile cache, not from retries.
 """
 
 import os
@@ -23,7 +35,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _spawn(port, nproc, pid, iternum, ckpt_dir):
+def _spawn(port, nproc, pid, cli, extra):
     env = dict(os.environ)
     # A clean child jax: CPU backend, no site-hook platform plugins, no
     # virtual-device flags from the parent test session.
@@ -33,54 +45,50 @@ def _spawn(port, nproc, pid, iternum, ckpt_dir):
     # Both ranks compile the identical SPMD program and the resume phase
     # repeats it; a PERSISTENT shared cache (not tmp_path — that would
     # recompile cold on every pytest invocation) keeps the ranks within
-    # milliseconds of each other at the gloo rendezvous, whose KV-store
-    # wait has a hard 30 s deadline that a cold compile on a loaded host
-    # can miss.
+    # milliseconds of each other at any post-bring-up collective.
     env["JAX_COMPILATION_CACHE_DIR"] = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.expanduser("~/.cache/fermiflow_tpu/jax_mp_cache"),
     )
     cmd = [
-        sys.executable, "-m", "fermiflow_tpu.cli.ground_state",
-        "--nup", "3", "--Z", "0.5", "--batch", "32", "--iternum",
-        str(iternum), "--ode-steps", "2", "--equilibrium-steps", "4",
-        "--Deta", "8", "--Dmu", "8", "--dtype", "float64", "--lr", "1e-3",
-        "--checkpoint-dir", ckpt_dir, "--checkpoint-every", "1",
+        sys.executable, "-m", f"fermiflow_tpu.cli.{cli}",
+        "--Z", "0.5", "--batch", "32",
+        "--Deta", "8", "--Dmu", "8", "--lr", "1e-3",
         "--coordinator", f"127.0.0.1:{port}",
         "--num-processes", str(nproc), "--process-id", str(pid),
-    ]
+        "--init-timeout", "300",
+    ] + extra
     return subprocess.Popen(
         cmd, env=env, cwd=REPO, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True,
     )
 
 
-def _run_pair(iternum, ckpt_dir, _retried=False):
+def _run_pair(cli, extra):
     port = _free_port()
-    procs = [_spawn(port, 2, pid, iternum, ckpt_dir) for pid in (0, 1)]
+    procs = [_spawn(port, 2, pid, cli, extra) for pid in (0, 1)]
     try:
         outs = [p.communicate(timeout=900)[0] for p in procs]
     finally:
         for p in procs:  # never leave orphans behind on timeout/failure
             if p.poll() is None:
                 p.kill()
-    if not _retried and any(p.returncode != 0 for p in procs) and any(
-        "DEADLINE_EXCEEDED" in out for out in outs
-    ) and not any("iter:" in out for out in outs):
-        # (no "iter:" = the failure was at bring-up, before any checkpoint
-        # was written, so rerunning with the same ckpt_dir is clean)
-        # First-ever (cold-cache) run on an oversubscribed host can blow the
-        # 30 s gloo rendezvous deadline while one rank is still compiling;
-        # the compile is cached now, so one retry is deterministic-fast.
-        return _run_pair(iternum, ckpt_dir, _retried=True)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"rank failed:\n{out[-4000:]}"
     return outs
 
 
+def _gs_extra(iternum, ckpt_dir):
+    return [
+        "--nup", "3", "--iternum", str(iternum), "--ode-steps", "2",
+        "--equilibrium-steps", "4", "--dtype", "float64",
+        "--checkpoint-dir", ckpt_dir, "--checkpoint-every", "1",
+    ]
+
+
 def test_two_process_cpu_training(tmp_path):
     ckpt = str(tmp_path / "ck")
-    outs = _run_pair(2, ckpt)
+    outs = _run_pair("ground_state", _gs_extra(2, ckpt))
     out0 = outs[0] if "iter: 001" in outs[0] else outs[1]
 
     # Both ranks announce the 2-process runtime with 1 local / 2 global devices.
@@ -101,6 +109,69 @@ def test_two_process_cpu_training(tmp_path):
     assert os.path.isdir(os.path.join(ckpt, "proc00001"))
 
     # Resume: a fresh 2-process run continues from iter 3.
-    outs2 = _run_pair(3, ckpt)
+    outs2 = _run_pair("ground_state", _gs_extra(3, ckpt))
     out0b = outs2[0] if "iter:" in outs2[0] else outs2[1]
     assert "iter: 003" in out0b and "iter: 002" not in out0b, out0b[-2000:]
+
+
+def test_two_process_finite_t():
+    # Persistent chains: the maximal-coupling state refresh + the per-state
+    # segment-sum baseline both run over the sharded global batch.
+    outs = _run_pair("finite_t", [
+        "--nup", "3", "--iternum", "2", "--ode-steps", "2",
+        "--equilibrium-steps", "4", "--mcmc-steps", "4", "--dtype", "float64",
+        "--beta", "2.0", "--deltaE", "2.0", "--boltzmann", "--persistent",
+    ])
+    out0 = outs[0] if "iter: 001" in outs[0] else outs[1]
+    assert "total number of states = 21" in out0, out0[-2000:]
+
+    rows = re.findall(
+        r"iter: \d+ F: ([\d.eE+-]+) .* E: ([\d.eE+-]+) .* "
+        r"S: ([\d.eE+-]+) S_analytical: ([\d.eE+-]+)", out0)
+    assert len(rows) == 2, out0[-2000:]
+    for F, E, S, S_ana in ((float(a), float(b), float(c), float(d))
+                           for a, b, c, d in rows):
+        # Boltzmann init at Z=0.5: E ~ E0 + <V> + thermal ~ 6-9 at beta=2,
+        # F = E + mean(logp_states)/beta strictly below E, S_analytical ~ 2.0
+        # (21 states; ln 21 = 3.04 is the cap), MC S within batch-32 noise.
+        assert 5.0 < E < 9.5, (F, E, S, S_ana)
+        assert F < E, (F, E)
+        assert 0.2 < S_ana < 3.05, S_ana
+        assert abs(S - S_ana) < 1.5, (S, S_ana)
+
+
+def test_two_process_pallas_hessian_flow():
+    # The fused Hessian-flow kernel (deterministic, so interpret-safe on CPU)
+    # sharded via jax.shard_map over a global walker mesh that spans two
+    # PROCESSES, checked against the single-host XLA engine.  This runs a
+    # dedicated rank driver rather than the full CLI: XLA's CPU backend
+    # takes tens of minutes to compile the interpret-expanded kernel inside
+    # the whole SPMD train-step program, while the bare shard_map launch
+    # compiles in seconds (the TPU path of the full step is exercised by
+    # the production configs; single-process interpret coverage of the same
+    # wrapper lives in tests/test_hessian_flow.py).
+    port = _free_port()
+    env = dict(os.environ)
+    env.update(PYTHONPATH=REPO, JAX_PLATFORMS="cpu", XLA_FLAGS="")
+    env["JAX_COMPILATION_CACHE_DIR"] = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/fermiflow_tpu/jax_mp_cache"),
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "_mp_pallas_driver.py"),
+             f"127.0.0.1:{port}", str(pid)],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    try:
+        outs = [p.communicate(timeout=900)[0] for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"rank failed:\n{out[-4000:]}"
+        assert "MP_PALLAS_OK" in out, out[-2000:]
