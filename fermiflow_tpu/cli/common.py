@@ -58,6 +58,11 @@ def add_flags(parser: argparse.ArgumentParser, finite_t: bool):
     parser.add_argument("--shard", action="store_true",
                         help="shard walkers over all visible devices")
     parser.add_argument("--checkpoint-dir", type=str, default=None)
+    parser.add_argument("--max-restarts", type=int, default=d.max_restarts,
+                        help="automatic recovery: on a non-finite energy, "
+                             "restore the latest checkpoint with reseeded "
+                             "chains, up to N times (requires "
+                             "--checkpoint-dir)")
     parser.add_argument("--checkpoint-every", type=int, default=d.checkpoint_every)
     parser.add_argument("--metrics", type=str, default=None,
                         help="jsonl metrics output path")
@@ -122,18 +127,57 @@ def run_training_loop(state, start_step, cfg, args, make_step, logger,
 
     ``make_step(jit)`` must return the (jitted or raw) train step;
     ``print_row(rec)`` renders one reference-format stdout line.
+
+    Failure recovery (absent in the reference — a crash loses the run):
+    with ``--max-restarts N`` and a checkpoint dir, a non-finite primary
+    metric (diverged/NaN step) triggers an automatic restore of the latest
+    checkpoint with a perturbed RNG key, up to N times.  All processes of a
+    multi-process run see the same replicated metric and restart together.
     """
+    import math as _math
     import time as _time
 
     from fermiflow_tpu.train import make_multi_step
-    from fermiflow_tpu.utils import save_checkpoint, trace
+    from fermiflow_tpu.utils import restore_checkpoint, save_checkpoint, trace
+
+    restarts = [0]
+
+    def _bad(recs):
+        key = "F" if "F" in recs[0] else "E"
+        return any(not _math.isfinite(float(r[key])) for r in recs)
+
+    def _recover(state, at_iter):
+        if not cfg.checkpoint_dir or restarts[0] >= cfg.max_restarts:
+            raise FloatingPointError(
+                f"non-finite energy at iteration {at_iter}"
+                + ("" if cfg.checkpoint_dir else " (no --checkpoint-dir)")
+                + (f"; {restarts[0]}/{cfg.max_restarts} restarts used")
+            )
+        restarts[0] += 1
+        state, step = restore_checkpoint(cfg.checkpoint_dir, state)
+        # Perturb the stream so the retried trajectory diverges from the
+        # one that blew up.
+        import jax as _jax
+
+        state = state._replace(
+            key=_jax.random.fold_in(state.key, 7919 + restarts[0])
+        )
+        if primary:
+            print(
+                f"WATCHDOG: non-finite energy at iteration {at_iter}; "
+                f"restored checkpoint step {step} with reseeded chains "
+                f"(restart {restarts[0]}/{cfg.max_restarts})"
+            )
+        return state, step
 
     K = max(1, int(cfg.steps_per_call))
     if K == 1:
         step_fn = make_step(True)
         profiling = None
+        i = start_step
         try:
-            for i in range(start_step + 1, cfg.iternum + 1):
+            while i < cfg.iternum:
+                i += 1
                 if args.profile_dir and i == 2:
                     profiling = trace(args.profile_dir)
                     profiling.__enter__()
@@ -145,6 +189,9 @@ def run_training_loop(state, start_step, cfg, args, make_step, logger,
                     _np.asarray(metrics["E"])  # flush device work into trace
                     profiling.__exit__(None, None, None)
                     profiling = None
+                if _bad([rec]):
+                    state, i = _recover(state, i)
+                    continue
                 if primary:
                     print_row(rec)
                 if cfg.checkpoint_dir and i % cfg.checkpoint_every == 0:
@@ -175,6 +222,9 @@ def run_training_loop(state, start_step, cfg, args, make_step, logger,
         rows = logger.log_many(i + 1, stacked, t0)  # fetch = device sync
         if profiling is not None:
             profiling.__exit__(None, None, None)
+        if _bad(rows):
+            state, i = _recover(state, i + chunk)
+            continue
         if primary:
             for rec in rows:
                 print_row(rec)
@@ -232,6 +282,7 @@ def config_from_args(args, finite_t: bool) -> Config:
         metrics_path=args.metrics,
         local_energy=args.local_energy,
         steps_per_call=args.steps_per_call,
+        max_restarts=args.max_restarts,
     )
     if finite_t:
         cfg.beta = args.beta

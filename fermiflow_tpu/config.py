@@ -70,6 +70,10 @@ class Config:
     # the train step — with one closed-form backward kernel.  Effective only
     # on the Pallas Hessian-flow path.
     pallas_reinforce: bool = True
+    # Automatic failure recovery: on a non-finite energy, restore the latest
+    # checkpoint with a reseeded RNG stream, up to this many times (needs
+    # checkpoint_dir; 0 = fail fast).
+    max_restarts: int = 0
     laplacian_chunk: int | None = None  # batch chunk for the Laplacian engine
     dtype: str = "float64"  # float64 | float32 (bf16 rejected, see jnp_dtype)
     seed: int = 42
