@@ -180,3 +180,34 @@ def test_kernel_matches_production_gradient_beta(rng):
         np.testing.assert_allclose(float(metrics_k[key]),
                                    float(metrics_ref[key]), rtol=1e-4,
                                    atol=1e-6)
+
+
+def test_reinforce_sharded_matches_single(rng):
+    from fermiflow_tpu.ops.pallas_reinforce import (
+        reinforce_flow_grad_pallas_sharded,
+    )
+    from fermiflow_tpu.parallel import make_walker_mesh
+
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.float32),
+        backflow_init_gaussian(k1, 8, 8, std=0.3),
+    )
+    x1 = jax.random.normal(k2, (64, 3, 2)).astype(jnp.float32)
+    ghat = jax.random.normal(k3, (64, 6)).astype(jnp.float32)
+    w = (jax.random.normal(k4, (64,)) / 64.0).astype(jnp.float32)
+
+    single, _ = reinforce_flow_grad_pallas(
+        params, x1, ghat, w, 0.0, 1.0, steps=2, method="rk4", interpret=True
+    )
+    mesh = make_walker_mesh(jax.devices("cpu"))
+    sharded, _ = reinforce_flow_grad_pallas_sharded(
+        mesh, params, x1, ghat, w, 0.0, 1.0, steps=2, method="rk4",
+        interpret=True,
+    )
+    # The sharded gradient is the psum of per-shard closed-form adjoints —
+    # identical math, different reduction order.
+    a, b = _flat(single), _flat(sharded)
+    scale = float(jnp.max(jnp.abs(a)))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5,
+                               atol=1e-6 * max(scale, 1.0))
