@@ -356,7 +356,11 @@ def hessian_flow_pallas(
     # would overflow VMEM at a 128-lane tile.
     bytes_per_walker = 4 * ((d * d + 2 * d + 1) * (stages + 2)
                             + 4 * d * d + 10 * n * n)
-    budget = 12 * 2**20
+    # Mosaic's measured scoped-vmem stack runs ~1.35x this model (16.21 MiB
+    # at n=10/BW=512 where the model says 11.97 — the N=10 OOM of r3); an
+    # 11 MiB budget keeps the worst case under the 16 MiB scoped limit
+    # while leaving the n<=6 production choice (BW=1024, SF=8) unchanged.
+    budget = 11 * 2**20
     if block_walkers is None:
         block_walkers = 128
         for cand in (2048, 1024, 512, 256):
