@@ -291,7 +291,6 @@ def config_from_args(args, finite_t: bool) -> Config:
     cfg.pallas_sampler = (
         not args.no_pallas_sampler
         and cfg.dtype == "float32"
-        and cfg.ndown == 0
         and jax.default_backend() == "tpu"
     )
     cfg.pallas_local_energy = (

@@ -165,18 +165,35 @@ def _ge_logabsdet(D, n):
     return 2.0 * logabs
 
 
-def _slater_logp(xs, nx_occ, ny_occ, n, dim, num_shells):
-    """2 log|det phi_j(r_i)| from coordinate tiles -> one (8, L) tile.
+def _slater_logp(xs, nx_occ, ny_occ, n, dim, num_shells,
+                 nx_dn=(), ny_dn=()):
+    """2 (log|det_up| + log|det_dn|) from coordinate tiles -> one (8, L) tile.
 
-    nx_occ/ny_occ: static python tuples of the occupied orbitals' 1D quantum
-    numbers.  Everything unrolls over the static particle/orbital indices.
+    nx_occ/ny_occ (and the optional down-sector nx_dn/ny_dn): static python
+    tuples of the occupied orbitals' 1D quantum numbers.  Particles
+    [0, nup) form the up determinant, [nup, n) the down determinant
+    (reference two-spin wavefunction, ``src/base_dist.py:49-56``).
+    Everything unrolls over the static particle/orbital indices.
     """
+    nup, ndown = len(nx_occ), len(nx_dn)
+    assert nup + ndown == n
     gauss, hx, hy = _hermite_tables(xs, n, dim, num_shells)
-    D = [
-        [gauss[i] * hx[i][nx_occ[j]] * hy[i][ny_occ[j]] for j in range(n)]
-        for i in range(n)
-    ]
-    return _ge_logabsdet(D, n)
+
+    def det(first, nxs, nys):
+        cnt = len(nxs)
+        D = [
+            [
+                gauss[first + i] * hx[first + i][nxs[j]] * hy[first + i][nys[j]]
+                for j in range(cnt)
+            ]
+            for i in range(cnt)
+        ]
+        return _ge_logabsdet(D, cnt)
+
+    logp = det(0, nx_occ, ny_occ)
+    if ndown:
+        logp = logp + det(nup, nx_dn, ny_dn)
+    return logp
 
 
 def _slater_logp_multistate(xs, nxs, nys, n, dim, num_shells):
@@ -209,21 +226,22 @@ def _rows(ref, d):
 
 def _metropolis_kernel(
     seed_ref, x_ref, tau_ref, out_x_ref, out_logp_ref, out_acc_ref,
-    *, steps, n, dim, nx_occ, ny_occ, num_shells,
+    *, steps, n, dim, nx_occ, ny_occ, num_shells, nx_dn=(), ny_dn=(),
 ):
     # Independent stream per walker-block program.
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     d = n * dim
     xs = tuple(_rows(x_ref[:], d))  # d tiles (8, L)
     tau = tau_ref[:]  # (8, L)
-    logp = _slater_logp(xs, nx_occ, ny_occ, n, dim, num_shells)
+    logp = _slater_logp(xs, nx_occ, ny_occ, n, dim, num_shells, nx_dn, ny_dn)
     acc = jnp.zeros_like(logp)
 
     def body(_, carry):
         xs, logp, acc = carry
         noise = _normals_tiles(d, xs[0].shape)
         xs_new = tuple(x + tau * nz for x, nz in zip(xs, noise))
-        logp_new = _slater_logp(xs_new, nx_occ, ny_occ, n, dim, num_shells)
+        logp_new = _slater_logp(xs_new, nx_occ, ny_occ, n, dim, num_shells,
+                                nx_dn, ny_dn)
         u = _uniform01(logp.shape)
         accept = u < jnp.exp(jnp.minimum(logp_new - logp, 0.0))
         xs = tuple(
@@ -250,7 +268,7 @@ def _from_tiles(arr: jax.Array, d: int, B: int) -> jax.Array:
 
 @functools.partial(
     jax.jit, static_argnames=("steps", "nx_occ", "ny_occ", "num_shells",
-                              "interpret", "block_walkers")
+                              "interpret", "block_walkers", "nx_dn", "ny_dn")
 )
 def metropolis_free_fermion(
     x0: jax.Array,
@@ -262,6 +280,8 @@ def metropolis_free_fermion(
     num_shells: int = 8,
     interpret: bool = False,
     block_walkers: int | None = None,
+    nx_dn: tuple = (),
+    ny_dn: tuple = (),
 ):
     """Run a fused Metropolis chain on the Slater base density.
 
@@ -270,17 +290,21 @@ def metropolis_free_fermion(
       seed: int32 scalar PRNG seed.
       tau: scalar or (B,) proposal step size(s).
       steps: number of Metropolis steps (static).
-      nx_occ, ny_occ: static tuples of the occupied orbitals' 1D quantum
-        numbers (length n).
+      nx_occ, ny_occ: static tuples of the spin-up occupied orbitals' 1D
+        quantum numbers (length nup).
       num_shells: Hermite recurrence depth.
       interpret: run in Pallas interpreter mode (CPU testing).
       block_walkers: walkers per grid program (default: largest divisor of B
         up to 2048).
+      nx_dn, ny_dn: static tuples for the spin-down sector (length ndown;
+        empty = spin-polarized).  Particles [nup, n) form the down
+        determinant, matching ``FreeFermion.log_prob``.
 
     Returns:
       (x, logp, accept_rate): (B, n, dim), (B,), (B,).
     """
     B, n, dim = x0.shape
+    assert len(nx_occ) + len(nx_dn) == n
     d = n * dim
     BW = block_walkers or _pick_block(B)
     if B % BW or (BW != B and (BW // _SUB) % 128):
@@ -302,6 +326,8 @@ def metropolis_free_fermion(
         nx_occ=tuple(nx_occ),
         ny_occ=tuple(ny_occ),
         num_shells=num_shells,
+        nx_dn=tuple(nx_dn),
+        ny_dn=tuple(ny_dn),
     )
     grid = (B // BW,)
     LW = BW // _SUB  # lanes per program
@@ -480,6 +506,8 @@ def metropolis_free_fermion_sharded(
     num_shells: int = 8,
     interpret: bool = False,
     axis: str = "walkers",
+    nx_dn: tuple = (),
+    ny_dn: tuple = (),
 ):
     """``metropolis_free_fermion`` over every device of a walker mesh.
 
@@ -496,6 +524,7 @@ def metropolis_free_fermion_sharded(
         return metropolis_free_fermion(
             x0_l, _per_shard_seed(seed_l, axis), tau_l, steps,
             nx_occ, ny_occ, num_shells, interpret,
+            nx_dn=nx_dn, ny_dn=ny_dn,
         )
 
     return jax.shard_map(

@@ -175,18 +175,17 @@ def make_gs_train_step(model: GSVMC, optimizer, cfg: Config, mesh=None,
     dtype = cfg.jnp_dtype()
 
     base_logp = lambda z: model.basedist.log_prob(model.occ_up, model.occ_down, z)
-    use_pallas = (
-        cfg.pallas_sampler
-        and model.ndown == 0
-        and dtype == jnp.float32
-    )
+    use_pallas = cfg.pallas_sampler and dtype == jnp.float32
     le_backend = _le_backend(cfg, model, dtype)
     orb = model.basedist.orbitals
     nx_occ = tuple(int(v) for v in orb.nx[model.occ_up])
     ny_occ = tuple(int(v) for v in orb.ny[model.occ_up])
+    nx_dn = tuple(int(v) for v in orb.nx[model.occ_down])
+    ny_dn = tuple(int(v) for v in orb.ny[model.occ_down])
     # Hermite recurrence depth: only as deep as the occupied orbitals need
     # (the full shell count would waste ~2x table work at small N).
-    kshells = int(max(nx_occ + ny_occ)) + 1 if nx_occ else 1
+    all_q = nx_occ + ny_occ + nx_dn + ny_dn
+    kshells = int(max(all_q)) + 1 if all_q else 1
 
     def sample_base(k_mcmc, z0, n_steps, tau):
         if use_pallas:
@@ -194,13 +193,14 @@ def make_gs_train_step(model: GSVMC, optimizer, cfg: Config, mesh=None,
             if mesh is None:
                 x, logp, acc = metropolis_free_fermion(
                     z0, seed, tau, n_steps, nx_occ, ny_occ, kshells,
-                    cfg.pallas_interpret,
+                    cfg.pallas_interpret, nx_dn=nx_dn, ny_dn=ny_dn,
                 )
             else:
                 # one kernel launch per device, walkers sharded on the mesh
                 x, logp, acc = metropolis_free_fermion_sharded(
                     mesh, z0, seed, tau, n_steps, nx_occ, ny_occ,
                     kshells, cfg.pallas_interpret,
+                    nx_dn=nx_dn, ny_dn=ny_dn,
                 )
             return mcmc.MCMCState(
                 x=x, logp=logp, tau=jnp.asarray(tau, dtype), accept_rate=acc

@@ -187,3 +187,24 @@ def test_multistate_kernel_chain():
     assert 0.55 < float(acc.mean()) < 0.9
     want = bd.log_prob_multstates(jnp.asarray(occ_table), idx, x)
     np.testing.assert_allclose(np.asarray(logp), np.asarray(want), atol=1e-3)
+
+
+def test_kernel_logp_two_spin_sectors_interpret():
+    """steps=0, nup=2/ndown=1: the kernel's two-determinant log density
+    (particles [0, nup) up, [nup, n) down) equals FreeFermion.log_prob."""
+    from fermiflow_tpu.ops.pallas_metropolis import metropolis_free_fermion
+
+    occ_up = np.arange(2, dtype=np.int32)
+    occ_dn = np.arange(1, dtype=np.int32)
+    nx_up = tuple(int(v) for v in orb.nx[occ_up])
+    ny_up = tuple(int(v) for v in orb.ny[occ_up])
+    nx_dn = tuple(int(v) for v in orb.nx[occ_dn])
+    ny_dn = tuple(int(v) for v in orb.ny[occ_dn])
+    x0 = jax.random.normal(jax.random.PRNGKey(2), (64, 3, 2), dtype=jnp.float32)
+    x, logp, acc = metropolis_free_fermion(
+        x0, 7, 0.1, 0, nx_up, ny_up, interpret=True,
+        nx_dn=nx_dn, ny_dn=ny_dn,
+    )
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-6)
+    want = bd.log_prob(occ_up, occ_dn, x0)
+    np.testing.assert_allclose(np.asarray(logp), np.asarray(want), atol=1e-4)
