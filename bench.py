@@ -55,11 +55,14 @@ MCMC_STEPS = 100
 # latency of this tunneled platform is amortized below ~10% — the headline
 # "sustained" rate then reflects the production configuration, where the
 # sampler shares one program with K scanned training iterations
-# (--steps-per-call) rather than paying a launch per chain.
-REPS = 1000
+# (--steps-per-call) rather than paying a launch per chain.  (The CPU
+# fallback path runs the scan sampler ~3 orders of magnitude slower, so it
+# keeps small rep counts — the bench's numbers of record are TPU-only.)
+_ON_TPU = jax.devices()[0].platform == "tpu"
+REPS = 1000 if _ON_TPU else 5
 # Training iterations scanned per program in the timed train step — the
 # shipped production mode (train.make_multi_step / --steps-per-call).
-TRAIN_REPS = 20
+TRAIN_REPS = 20 if _ON_TPU else 3
 
 
 def _sampler_flops(n: int, K: int, dim: int = 2) -> float:
