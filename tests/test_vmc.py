@@ -117,6 +117,28 @@ def test_beta_eigenstate_gate_and_boltzmann_optimum(rng):
     assert float(jnp.linalg.norm(grads["log_state_weights"])) < 1e-10
 
 
+def test_beta_largest_enumerated_problem_oracle(rng):
+    """The reference's largest enumerated problem (N=10, deltaE=4 -> 1781
+    states, /root/reference/src/orbitals.py:101-110): the Z=0 Boltzmann
+    oracle must hold at full scale — F exact, F_std == 0, zero phi-grad.
+    Gates that the dense occ-table design scales to Nstates ~ 2000."""
+    model = make_beta(nup=10, deltaE=4.0)
+    assert model.Nstates == 1781
+    params = {
+        "flow": backflow_init_zeros(8, 8),
+        "log_state_weights": model.init_log_state_weights(True),
+    }
+    idx, _, x = model.sample(params, rng, 64, equilibrium_steps=20)
+    (loss, m), grads = jax.jit(
+        jax.value_and_grad(model.loss_and_metrics, has_aux=True)
+    )(params, idx, x)
+    np.testing.assert_allclose(float(m["F_std"]), 0.0, atol=1e-9)
+    Es = np.asarray(model.Es_original)
+    F_exact = Es[0] - np.log(np.sum(np.exp(-2.0 * (Es - Es[0])))) / 2.0
+    np.testing.assert_allclose(float(m["F"]), F_exact, atol=1e-7)
+    assert float(jnp.linalg.norm(grads["log_state_weights"])) < 1e-8
+
+
 def test_beta_entropy_estimators_consistent(rng):
     model = make_beta()
     params = {
