@@ -28,7 +28,61 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["logabsdet"]
+__all__ = ["logabsdet", "gauss_jordan_inv"]
+
+
+def gauss_jordan_inv(D: jax.Array) -> jax.Array:
+    """Batched inverse of small square matrices, no LU custom call.
+
+    Gauss-Jordan with the same swap-free partial pivoting as ``logabsdet``:
+    the pivot row at step k is selected by masked argmax of |column k| over
+    not-yet-used rows and applied through one-hot contractions, so the whole
+    computation is plain unrolled jnp arithmetic — fast at the Slater shape
+    regime (n <= ~10, batch ~10^4) where XLA's LU/triangular-solve custom
+    calls dominate, and differentiable in both modes like ``logabsdet``.
+
+    Args:
+      D: (..., n, n) with n static and small (unrolled n times).
+
+    Returns:
+      (..., n, n) inverse matrices (garbage rows for singular inputs, as
+      with any pivoted elimination without a singularity flag).
+    """
+    n = D.shape[-1]
+    if D.shape[-2] != n:
+        raise ValueError(f"square matrices required, got {D.shape}")
+    dtype = D.dtype
+    batch_shape = D.shape[:-2]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype), batch_shape + (n, n))
+    m = jnp.concatenate([D, eye], axis=-1)  # (..., n, 2n) augmented
+    used = jnp.zeros(batch_shape + (n,), dtype=dtype)
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    pivot_ohs = []
+
+    for k in range(n):
+        col = m[..., k]  # (..., n)
+        score = jnp.where(used > 0.5, -jnp.inf, jnp.abs(col))
+        p = jnp.argmax(score, axis=-1)
+        oh = jax.nn.one_hot(p, n, dtype=dtype)  # (..., n)
+        pivot_val = jnp.sum(oh * col, axis=-1)
+        safe_pivot = jnp.where(
+            jnp.abs(pivot_val) > tiny, pivot_val, jnp.ones_like(pivot_val)
+        )
+        pivot_row = jnp.sum(oh[..., None] * m, axis=-2) / safe_pivot[..., None]
+        # Jordan step: clear column k from EVERY other row (used ones too),
+        # then write the normalized pivot row back in place of the raw one.
+        mult = (1.0 - oh) * col  # pivot_row is already normalized
+        m = m - mult[..., None] * pivot_row[..., None, :]
+        m = jnp.where(oh[..., None] > 0.5, pivot_row[..., None, :], m)
+        used = used + oh
+        pivot_ohs.append(oh)
+
+    # Row p_k of the augmented right half is row k of the inverse.
+    rhs = m[..., n:]  # (..., n, 2n -> n)
+    inv_rows = [
+        jnp.sum(pivot_ohs[k][..., None] * rhs, axis=-2) for k in range(n)
+    ]
+    return jnp.stack(inv_rows, axis=-2)
 
 
 def logabsdet(D: jax.Array) -> jax.Array:

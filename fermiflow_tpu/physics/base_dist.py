@@ -25,6 +25,9 @@ from fermiflow_tpu.physics.orbitals import HO2D
 from fermiflow_tpu.physics.slater import (
     log_abs_slater_det,
     log_abs_slater_det_multstates,
+    logdet_vgh,
+    slater_derivs,
+    slater_derivs_multstates,
 )
 
 __all__ = ["FreeFermion"]
@@ -56,6 +59,60 @@ class FreeFermion:
                 self.orbitals, occ_down, x[..., nup:, :]
             )
         return 2.0 * logabspsi
+
+    def log_prob_vgh(self, occ_up, occ_down, x: jax.Array):
+        """(log p, grad, Hessian) of the base log-density, closed form.
+
+        Replaces nested autodiff through the GE logdet with the determinant-
+        calculus identities of ``slater.logdet_vgh`` — the one-time base
+        evaluation feeding the Hessian-flow local-energy engine.  Spin
+        sectors factorize, so the Hessian is block-diagonal across sectors.
+
+        Args:
+          x: (..., n, dim) with the first nup rows spin-up.
+
+        Returns:
+          (y, g, H): (...,), (..., n*dim), (..., n*dim, n*dim).
+        """
+        nup = len(occ_up)
+        ndown = len(occ_down)
+        dim = self.dim
+        batch = x.shape[:-2]
+        parts = []
+        if nup:
+            parts.append(logdet_vgh(
+                *slater_derivs(self.orbitals, occ_up, x[..., :nup, :])
+            ))
+        if ndown:
+            parts.append(logdet_vgh(
+                *slater_derivs(self.orbitals, occ_down, x[..., nup:, :])
+            ))
+        y = sum(p[0] for p in parts) * 2.0
+        g = 2.0 * jnp.concatenate([p[1] for p in parts], axis=-1)
+        if len(parts) == 1:
+            H = 2.0 * parts[0][2]
+        else:
+            du, dd = nup * dim, ndown * dim
+            zt = jnp.zeros(batch + (du, dd), dtype=x.dtype)
+            H = 2.0 * jnp.concatenate(
+                [
+                    jnp.concatenate([parts[0][2], zt], axis=-1),
+                    jnp.concatenate(
+                        [jnp.swapaxes(zt, -1, -2), parts[1][2]], axis=-1
+                    ),
+                ],
+                axis=-2,
+            )
+        return y, g, H
+
+    def log_prob_vgh_multstates(
+        self, occ_table: jax.Array, state_idx: jax.Array, x: jax.Array
+    ):
+        """Mixed-state (y, g, H) per walker — closed form, per-walker states."""
+        y, g, H = logdet_vgh(
+            *slater_derivs_multstates(self.orbitals, occ_table, state_idx, x)
+        )
+        return 2.0 * y, 2.0 * g, 2.0 * H
 
     def sample(
         self,

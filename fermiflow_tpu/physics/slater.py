@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fermiflow_tpu.ops.logdet import logabsdet
+from fermiflow_tpu.ops.logdet import gauss_jordan_inv, logabsdet
 from fermiflow_tpu.physics.orbitals import HO2D, hermite_functions
 
 __all__ = [
@@ -36,7 +36,141 @@ __all__ = [
     "log_abs_slater_det",
     "slater_matrix_multstates",
     "log_abs_slater_det_multstates",
+    "slater_derivs",
+    "slater_derivs_multstates",
+    "logdet_vgh",
 ]
+
+_HI = jax.lax.Precision.HIGHEST  # these feed the Laplacian twice-over
+
+
+def _ho1d_val_d1_d2(u: jax.Array, num: int):
+    """Orthonormal 1D HO eigenfunctions psi_0..psi_{num-1} with closed-form
+    first and second derivatives.
+
+    No autodiff: the ladder identity psi_n' = sqrt(n/2) psi_{n-1}
+    - sqrt((n+1)/2) psi_{n+1} (d/du = (a - a†)/sqrt2) and the Schroedinger
+    equation psi_n'' = (u^2 - 2n - 1) psi_n give both derivatives from the
+    same Hermite recurrence evaluated one order higher.
+
+    Returns (psi, dpsi, d2psi), each ``u.shape + (num,)``.
+    """
+    h = hermite_functions(u, num + 1)
+    gauss = jnp.exp(-0.5 * u**2) * float(np.pi**-0.25)
+    psi_ext = gauss[..., None] * h  # (..., num+1)
+    psi = psi_ext[..., :num]
+    dtype = psi.dtype
+    m = np.arange(num)
+    lo = jnp.asarray(np.sqrt(m / 2.0), dtype)
+    hi = jnp.asarray(np.sqrt((m + 1) / 2.0), dtype)
+    psi_m1 = jnp.concatenate(
+        [jnp.zeros_like(psi[..., :1]), psi[..., :-1]], axis=-1
+    )
+    dpsi = lo * psi_m1 - hi * psi_ext[..., 1:]
+    d2psi = (u[..., None] ** 2 - jnp.asarray(2 * m + 1, dtype)) * psi
+    return psi, dpsi, d2psi
+
+
+def _derivs_from_1d(ax, adx, ad2x, ay, ady, ad2y):
+    """Assemble (D, D1, D2) from per-axis selected orbital factors."""
+    D = ax * ay
+    D1 = jnp.stack([adx * ay, ax * ady], axis=-1)  # (..., n, k, 2)
+    Dxy = adx * ady
+    D2 = jnp.stack(
+        [
+            jnp.stack([ad2x * ay, Dxy], axis=-1),
+            jnp.stack([Dxy, ax * ad2y], axis=-1),
+        ],
+        axis=-2,
+    )  # (..., n, k, 2, 2)
+    return D, D1, D2
+
+
+def slater_derivs(orbitals: HO2D, occ, x: jax.Array):
+    """Slater matrix + its row-coordinate derivatives, closed form.
+
+    Args:
+      orbitals: the orbital family; occ: static occupied indices, length n;
+      x: (..., n, 2).
+
+    Returns:
+      D (..., n, n), D1 (..., n, n, 2), D2 (..., n, n, 2, 2) where
+      D1[..., i, j, a] = d phi_{occ[j]}(x_i) / d x_{i,a} and D2 likewise for
+      the (per-particle) second derivatives.
+    """
+    occ = np.asarray(occ, dtype=np.int32)
+    nx = orbitals.nx[occ]
+    ny = orbitals.ny[occ]
+    K = orbitals.num_shells
+    vx, dvx, d2vx = _ho1d_val_d1_d2(x[..., 0], K)  # (..., n, K)
+    vy, dvy, d2vy = _ho1d_val_d1_d2(x[..., 1], K)
+    return _derivs_from_1d(
+        vx[..., nx], dvx[..., nx], d2vx[..., nx],
+        vy[..., ny], dvy[..., ny], d2vy[..., ny],
+    )
+
+
+def slater_derivs_multstates(
+    orbitals: HO2D, occ_table: jax.Array, state_idx: jax.Array, x: jax.Array
+):
+    """Per-walker (D, D1, D2) for per-walker occupations (one-hot selected,
+    same dense gather-free scheme as ``slater_matrix_multstates``)."""
+    K = orbitals.num_shells
+    occ = jnp.take(occ_table, state_idx, axis=0)  # (batch, n)
+    nx_occ = jnp.take(jnp.asarray(orbitals.nx), occ)
+    ny_occ = jnp.take(jnp.asarray(orbitals.ny), occ)
+    vx, dvx, d2vx = _ho1d_val_d1_d2(x[..., 0], K)  # (batch, n, K)
+    vy, dvy, d2vy = _ho1d_val_d1_d2(x[..., 1], K)
+    dtype = x.dtype
+    oh_x = jax.nn.one_hot(nx_occ, K, dtype=dtype)  # (batch, n, K)
+    oh_y = jax.nn.one_hot(ny_occ, K, dtype=dtype)
+
+    def sel(V, oh):
+        return jnp.einsum("...ik,...jk->...ij", V, oh, precision=_HI)
+
+    return _derivs_from_1d(
+        sel(vx, oh_x), sel(dvx, oh_x), sel(d2vx, oh_x),
+        sel(vy, oh_y), sel(dvy, oh_y), sel(d2vy, oh_y),
+    )
+
+
+def logdet_vgh(D: jax.Array, D1: jax.Array, D2: jax.Array):
+    """(value, gradient, Hessian) of log|det D(x)| in closed form.
+
+    Determinant calculus with row-local dependence (row i of D depends only
+    on x_i): with A = D^{-1}, B[i,a,k] = sum_j D1[i,j,a] A[j,k],
+    C[i,a,b] = sum_j A[j,i] D2[i,j,a,b],
+
+        d log|det| / dx_{i,a}              = B[i,a,i]
+        d^2 log|det| / dx_{i,a} dx_{k,b}   = delta_ik C[i,a,b]
+                                             - B[k,b,i] B[i,a,k]
+
+    This replaces the jacfwd-of-grad nested autodiff of
+    ``vmc.hessian_flow.base_val_grad_hess`` (2 n dim second-order tangent
+    channels through the GE logdet) with one batched Gauss-Jordan inverse
+    plus three small einsums — the same quantities, ~5x cheaper at Slater
+    shapes (measured; see docs/PARITY.md).
+
+    Returns:
+      y (...,), g (..., n*dim), H (..., n*dim, n*dim).
+    """
+    n = D.shape[-1]
+    dim = D1.shape[-1]
+    A = gauss_jordan_inv(D)
+    y = logabsdet(D)
+    B = jnp.einsum("...ija,...jk->...iak", D1, A, precision=_HI)
+    g = jnp.einsum("...iai->...ia", B)
+    C = jnp.einsum("...ji,...ijab->...iab", A, D2, precision=_HI)
+    cross = jnp.einsum("...kbi,...iak->...iakb", B, B, precision=_HI)
+    eye = jnp.eye(n, dtype=D.dtype)
+    H = (
+        jnp.einsum("...iab,ik->...iakb", C, eye)
+        - cross
+    )
+    batch = D.shape[:-2]
+    return y, g.reshape(batch + (n * dim,)), H.reshape(
+        batch + (n * dim, n * dim)
+    )
 
 
 def slater_matrix(orbitals: HO2D, occ, x: jax.Array) -> jax.Array:

@@ -155,6 +155,9 @@ class BetaVMC:
             pallas_interpret=pallas_interpret,
             mesh=mesh,
             return_grad=return_grad,
+            base_vgh=lambda z_, idx: self.basedist.log_prob_vgh_multstates(
+                occ_table, idx, z_
+            ),
         )
 
     def loss_and_metrics_from_base(self, params, state_idx: jax.Array,

@@ -159,6 +159,9 @@ class GSVMC:
             pallas_interpret=pallas_interpret,
             mesh=mesh,
             return_grad=return_grad,
+            base_vgh=lambda z_: self.basedist.log_prob_vgh(
+                self.occ_up, self.occ_down, z_
+            ),
         )
 
     def loss_and_metrics_from_base(self, params, z: jax.Array,

@@ -134,6 +134,7 @@ def local_energy_flow(
     pallas_interpret: bool = False,
     mesh=None,
     return_grad: bool = False,
+    base_vgh: Callable | None = None,
 ):
     """Per-walker local energies from base samples, one forward pass.
 
@@ -149,6 +150,9 @@ def local_energy_flow(
         for the backflow field, float32/dim=2 —
         ops/pallas_hessian_flow.py); pallas_interpret runs the kernel in
         the TPU interpreter for CPU tests.
+      base_vgh: optional closed-form (z, *base_args) -> (y0, g0, H0)
+        (e.g. ``FreeFermion.log_prob_vgh``); when given it replaces the
+        nested-autodiff ``base_val_grad_hess`` evaluation.
 
     Returns:
       (x, eloc, logp): generated positions, local energies and log p(x),
@@ -156,7 +160,10 @@ def local_energy_flow(
       the score g = grad_x log p at x, (batch, n*dim) — the terminal adjoint
       seed of the fused REINFORCE-gradient kernel (ops/pallas_reinforce.py).
     """
-    y0, g0, H0 = base_val_grad_hess(base_logp_single, z, *base_args)
+    if base_vgh is not None:
+        y0, g0, H0 = base_vgh(z, *base_args)
+    else:
+        y0, g0, H0 = base_val_grad_hess(base_logp_single, z, *base_args)
     if backend == "pallas":
         from fermiflow_tpu.ops.pallas_hessian_flow import (
             hessian_flow_pallas,

@@ -126,3 +126,56 @@ def test_multstates_grad_matches_static_grad(rng):
         np.testing.assert_allclose(
             np.asarray(g_mult[b]), np.asarray(g_stat), atol=1e-10
         )
+
+
+def test_closed_form_vgh_matches_autodiff(rng):
+    """The determinant-calculus (value, grad, Hessian) of the base density
+    (physics/slater.logdet_vgh via FreeFermion.log_prob_vgh) must equal the
+    nested-autodiff reference implementation exactly — polarized, two-spin-
+    sector, and per-walker multistate."""
+    from fermiflow_tpu.physics import FreeFermion
+    from fermiflow_tpu.vmc.hessian_flow import base_val_grad_hess
+
+    bd = FreeFermion(orb)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+
+    occ = tuple(range(6))
+    x = jax.random.normal(k1, (16, 6, 2), dtype=jnp.float64)
+    ref = base_val_grad_hess(lambda z: bd.log_prob(occ, (), z), x)
+    got = jax.jit(lambda z: bd.log_prob_vgh(occ, (), z))(x)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-8)
+
+    x = jax.random.normal(k2, (16, 5, 2), dtype=jnp.float64)
+    ref = base_val_grad_hess(
+        lambda z: bd.log_prob((0, 1, 2), (0, 1), z), x
+    )
+    got = jax.jit(lambda z: bd.log_prob_vgh((0, 1, 2), (0, 1), z))(x)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-8)
+
+    occ_tab, _ = orb.fermion_states(4, 0, 2.0)
+    occ_tab = jnp.asarray(occ_tab)
+    idx = jax.random.randint(k3, (16,), 0, occ_tab.shape[0])
+    x = jax.random.normal(k4, (16, 4, 2), dtype=jnp.float64)
+    ref = base_val_grad_hess(
+        lambda z, i: bd.log_prob_multstates(occ_tab, i[None], z[None])[0],
+        x, idx,
+    )
+    got = jax.jit(
+        lambda z, i: bd.log_prob_vgh_multstates(occ_tab, i, z)
+    )(x, idx)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-8)
+
+
+def test_gauss_jordan_inv_matches_linalg(rng):
+    from fermiflow_tpu.ops.logdet import gauss_jordan_inv
+
+    D = jax.random.normal(rng, (64, 7, 7), dtype=jnp.float64)
+    inv = gauss_jordan_inv(D)
+    np.testing.assert_allclose(
+        np.asarray(inv), np.asarray(jnp.linalg.inv(D)), atol=1e-8
+    )
+    resid = jnp.einsum("bij,bjk->bik", D, inv) - jnp.eye(7, dtype=jnp.float64)
+    assert float(jnp.max(jnp.abs(resid))) < 1e-8
