@@ -135,6 +135,16 @@ def main():
     t_bvgh, _ = timed(run_bvgh, z, reps=REPS, fetch=lambda o: o)
     res["bvgh_s"] = t_bvgh
 
+    # ---- 2b. closed-form base (round 3 production path) ----
+    @jax.jit
+    def run_bvgh_cf(z):
+        def body(i, acc):
+            y, g, H = bd.log_prob_vgh(occ, (), z + 0.0 * i)
+            return acc + y.sum() + g.sum() + H.sum()
+        return jax.lax.fori_loop(0, REPS, body, jnp.zeros((), dtype))
+    t_bvgh_cf, _ = timed(run_bvgh_cf, z, reps=REPS, fetch=lambda o: o)
+    res["bvgh_closed_form_s"] = t_bvgh_cf
+
     y0, g0, H0 = jax.jit(
         lambda z: base_val_grad_hess(base_logp_single, z))(z)
 
@@ -191,6 +201,29 @@ def main():
                       fetch=lambda o: o)
     res["logp_vjp_s"] = t_logp
 
+    # ---- 5b. fused REINFORCE adjoint kernel (round 3 production path) ----
+    from fermiflow_tpu.ops.pallas_reinforce import reinforce_flow_grad_pallas
+
+    y0k, g0k, H0k = jax.jit(
+        lambda z: base_val_grad_hess(base_logp_single, z))(z)
+    xk, _, gk, _ = jax.jit(
+        lambda p, z: hessian_flow_pallas(p, z, y0k, g0k, H0k, 0.0, 1.0,
+                                         steps=STEPS, method="dopri5")
+    )(params, z)
+
+    @jax.jit
+    def run_reinforce(p, x, g, w):
+        def body(i, acc):
+            grads, _ = reinforce_flow_grad_pallas(
+                p, x, g, w + 0.0 * i, 0.0, 1.0, steps=STEPS,
+                method="dopri5")
+            return acc + sum(jnp.sum(l) for l in
+                             jax.tree_util.tree_leaves(grads))
+        return jax.lax.fori_loop(0, REPS, body, jnp.zeros((), jnp.float32))
+    t_reinforce, _ = timed(run_reinforce, params, xk, gk, w / B, reps=REPS,
+                           fetch=lambda o: o)
+    res["reinforce_kernel_s"] = t_reinforce
+
     # ---- 6. full train step ----
     optimizer = optax.adam(1e-3)
     state = init_gs_state(model, params, cfg, optimizer)
@@ -211,6 +244,13 @@ def main():
              + res["logp_vjp_s"])
     res["sum_of_stages_s"] = known
     res["residual_s"] = t_step - known
+    # Production (round 3) step = fused paths: closed-form base + Hessian-flow
+    # kernel + REINFORCE adjoint kernel; full_step_s above is measured with
+    # these defaults (cfg.pallas_reinforce=True, closed-form base wired in).
+    known_r3 = (res["sampler_s"] + res["bvgh_closed_form_s"]
+                + res["hflow_kernel_s"] + res["reinforce_kernel_s"])
+    res["sum_of_stages_r3_s"] = known_r3
+    res["residual_r3_s"] = t_step - known_r3
     res["sampler_wps"] = B * args.mcmc_steps / t_sampler
     res["sampler_vpu_util"] = (res["sampler_wps"]
                                * _sampler_flops(N, kshells) / VPU_PEAK_FLOPS)
