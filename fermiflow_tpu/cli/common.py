@@ -64,6 +64,27 @@ def add_flags(parser: argparse.ArgumentParser, finite_t: bool):
                              "chains, up to N times (requires "
                              "--checkpoint-dir)")
     parser.add_argument("--checkpoint-every", type=int, default=d.checkpoint_every)
+    parser.add_argument("--divergence-window", type=int,
+                        default=d.divergence_window,
+                        help="trailing healthy-iteration window for the "
+                             "divergence watchdog (0 disables)")
+    parser.add_argument("--divergence-nsigma", type=float,
+                        default=d.divergence_nsigma,
+                        help="restore when the energy exceeds the window "
+                             "mean by this many window standard deviations "
+                             "(finite-divergence watchdog; <=0 disables)")
+    parser.add_argument("--ode-solver", type=str, default=d.ode_solver,
+                        choices=["fixed", "adaptive", "adjoint"],
+                        help="generative-flow integrator: fixed-grid scan "
+                             "(production; discretize-then-optimize), "
+                             "adaptive dopri5 (reference tolerance parity, "
+                             "rtol/atol below), or the O(1)-memory adjoint")
+    parser.add_argument("--rtol", type=float, default=d.rtol,
+                        help="adaptive-solver relative tolerance "
+                             "(reference: 1e-6)")
+    parser.add_argument("--atol", type=float, default=d.atol,
+                        help="adaptive-solver absolute tolerance "
+                             "(reference: 1e-8)")
     parser.add_argument("--metrics", type=str, default=None,
                         help="jsonl metrics output path")
     parser.add_argument("--movie", type=str, default=None,
@@ -115,7 +136,7 @@ def add_flags(parser: argparse.ArgumentParser, finite_t: bool):
 
 
 def run_training_loop(state, start_step, cfg, args, make_step, logger,
-                      primary, print_row):
+                      primary, print_row, make_chunk=None):
     """Drive training from ``start_step`` to ``cfg.iternum``.
 
     With ``cfg.steps_per_call == 1`` this is the classic one-dispatch-per-
@@ -130,9 +151,13 @@ def run_training_loop(state, start_step, cfg, args, make_step, logger,
 
     Failure recovery (absent in the reference — a crash loses the run):
     with ``--max-restarts N`` and a checkpoint dir, a non-finite primary
-    metric (diverged/NaN step) triggers an automatic restore of the latest
-    checkpoint with a perturbed RNG key, up to N times.  All processes of a
-    multi-process run see the same replicated metric and restart together.
+    metric (NaN/inf step) OR a finite divergence — the energy jumping
+    ``divergence_nsigma`` window-sigmas above the trailing
+    ``divergence_window``-iteration mean, or the per-walker std exploding
+    10x over the window median (an lr spike trains to garbage while staying
+    finite) — triggers an automatic restore of the latest checkpoint with a
+    perturbed RNG key, up to N times.  All processes of a multi-process run
+    see the same replicated metric and restart together.
     """
     import math as _math
     import time as _time
@@ -141,30 +166,74 @@ def run_training_loop(state, start_step, cfg, args, make_step, logger,
     from fermiflow_tpu.utils import restore_checkpoint, save_checkpoint, trace
 
     restarts = [0]
+    mkey = None  # primary-metric key, bound on the first record seen
+    window = []  # (metric, metric_std) of the trailing healthy iterations
 
     def _bad(recs):
-        key = "F" if "F" in recs[0] else "E"
-        return any(not _math.isfinite(float(r[key])) for r in recs)
+        nonlocal mkey
+        mkey = "F" if "F" in recs[0] else "E"
+        for r in recs:
+            if not _math.isfinite(float(r[mkey])):
+                return f"non-finite energy ({mkey}={float(r[mkey])})"
+        return _diverged(recs)
 
-    def _recover(state, at_iter):
+    def _diverged(recs):
+        """Finite-divergence check against the trailing healthy window."""
+        if (cfg.divergence_nsigma <= 0 or cfg.divergence_window <= 0
+                or len(window) < cfg.divergence_window):
+            return None
+        vals = [w[0] for w in window]
+        stds = sorted(w[1] for w in window)
+        m = sum(vals) / len(vals)
+        var = sum((v - m) ** 2 for v in vals) / len(vals)
+        # Sigma floor: a fully converged window can have ~zero scatter; a
+        # relative floor keeps the threshold meaningful there.
+        s = max(var ** 0.5, 1e-3 * max(abs(m), 1.0))
+        smed = stds[len(stds) // 2]
+        for r in recs:
+            v = float(r[mkey])
+            if v > m + cfg.divergence_nsigma * s:
+                return (
+                    f"divergence ({mkey}={v:.6g} > window mean {m:.6g} + "
+                    f"{cfg.divergence_nsigma:g} x sigma {s:.3g})"
+                )
+            vs = float(r.get(mkey + "_std", 0.0))
+            if smed > 0 and _math.isfinite(vs) and vs > 10.0 * smed:
+                return (
+                    f"divergence ({mkey}_std={vs:.6g} > 10 x window "
+                    f"median {smed:.6g})"
+                )
+        return None
+
+    def _note_healthy(recs):
+        for r in recs:
+            window.append(
+                (float(r[mkey]), float(r.get(mkey + "_std", 0.0)))
+            )
+        if cfg.divergence_window > 0:
+            del window[: -cfg.divergence_window]
+
+    def _recover(state, at_iter, reason):
         if not cfg.checkpoint_dir or restarts[0] >= cfg.max_restarts:
             raise FloatingPointError(
-                f"non-finite energy at iteration {at_iter}"
+                f"{reason} at iteration {at_iter}"
                 + ("" if cfg.checkpoint_dir else " (no --checkpoint-dir)")
                 + (f"; {restarts[0]}/{cfg.max_restarts} restarts used")
             )
         restarts[0] += 1
         state, step = restore_checkpoint(cfg.checkpoint_dir, state)
         # Perturb the stream so the retried trajectory diverges from the
-        # one that blew up.
+        # one that blew up; the trailing window restarts from the restored
+        # point (its statistics described the pre-divergence trajectory).
         import jax as _jax
 
         state = state._replace(
             key=_jax.random.fold_in(state.key, 7919 + restarts[0])
         )
+        window.clear()
         if primary:
             print(
-                f"WATCHDOG: non-finite energy at iteration {at_iter}; "
+                f"WATCHDOG: {reason} at iteration {at_iter}; "
                 f"restored checkpoint step {step} with reseeded chains "
                 f"(restart {restarts[0]}/{cfg.max_restarts})"
             )
@@ -189,9 +258,11 @@ def run_training_loop(state, start_step, cfg, args, make_step, logger,
                     _np.asarray(metrics["E"])  # flush device work into trace
                     profiling.__exit__(None, None, None)
                     profiling = None
-                if _bad([rec]):
-                    state, i = _recover(state, i)
+                reason = _bad([rec])
+                if reason:
+                    state, i = _recover(state, i, reason)
                     continue
+                _note_healthy([rec])
                 if primary:
                     print_row(rec)
                 if cfg.checkpoint_dir and i % cfg.checkpoint_every == 0:
@@ -201,7 +272,7 @@ def run_training_loop(state, start_step, cfg, args, make_step, logger,
                 profiling.__exit__(None, None, None)
         return state
 
-    raw_step = make_step(False)
+    raw_step = None if make_chunk else make_step(False)
     compiled = {}  # chunk length -> jitted multi-step program
     i = start_step
     dispatch = 0
@@ -211,7 +282,13 @@ def run_training_loop(state, start_step, cfg, args, make_step, logger,
             chunk = min(chunk, cfg.checkpoint_every - i % cfg.checkpoint_every)
         fn = compiled.get(chunk)
         if fn is None:
-            fn = compiled[chunk] = make_multi_step(raw_step, chunk)
+            # ``make_chunk`` (when the CLI provides one) builds a fused
+            # whole-chunk program — e.g. the GS multi-chain-sampler
+            # multi-step — instead of scanning the per-iteration step.
+            fn = compiled[chunk] = (
+                make_chunk(chunk) if make_chunk
+                else make_multi_step(raw_step, chunk)
+            )
         dispatch += 1
         profiling = None
         if args.profile_dir and dispatch == 2:
@@ -222,9 +299,11 @@ def run_training_loop(state, start_step, cfg, args, make_step, logger,
         rows = logger.log_many(i + 1, stacked, t0)  # fetch = device sync
         if profiling is not None:
             profiling.__exit__(None, None, None)
-        if _bad(rows):
-            state, i = _recover(state, i + chunk)
+        reason = _bad(rows)
+        if reason:
+            state, i = _recover(state, i + chunk, reason)
             continue
+        _note_healthy(rows)
         if primary:
             for rec in rows:
                 print_row(rec)
@@ -283,6 +362,11 @@ def config_from_args(args, finite_t: bool) -> Config:
         local_energy=args.local_energy,
         steps_per_call=args.steps_per_call,
         max_restarts=args.max_restarts,
+        divergence_window=args.divergence_window,
+        divergence_nsigma=args.divergence_nsigma,
+        ode_solver=args.ode_solver,
+        rtol=args.rtol,
+        atol=args.atol,
     )
     if finite_t:
         cfg.beta = args.beta

@@ -74,6 +74,14 @@ class Config:
     # checkpoint with a reseeded RNG stream, up to this many times (needs
     # checkpoint_dir; 0 = fail fast).
     max_restarts: int = 0
+    # Divergence watchdog (finite-but-diverged runs, e.g. an lr spike): the
+    # primary metric exceeding the trailing-window mean by `nsigma` window
+    # standard deviations, or the per-walker std exploding 10x above the
+    # window median, triggers the same restore path as a NaN.  The window
+    # counts the last `divergence_window` healthy iterations; nsigma <= 0 or
+    # window <= 0 disables the check.
+    divergence_window: int = 50
+    divergence_nsigma: float = 10.0
     laplacian_chunk: int | None = None  # batch chunk for the Laplacian engine
     dtype: str = "float64"  # float64 | float32 (bf16 rejected, see jnp_dtype)
     seed: int = 42

@@ -129,38 +129,36 @@ def save_checkpoint(directory: str, step: int, state) -> str:
     return path
 
 
-def restore_checkpoint(directory: str, state_like):
-    """Restore the latest checkpoint into the structure of ``state_like``.
-
-    Leaves are re-placed with the shardings of ``state_like`` (host leaves
-    stay host numpy), so restoring into a mesh-sharded TrainState — single-
-    or multi-process — lands the walkers back on their devices.
-
-    Returns (state, step) or (state_like, 0) when no checkpoint exists.
-    """
-    directory = _proc_dir(directory)
+def _latest_name(directory: str):
     if not os.path.isdir(directory):
-        return state_like, 0
-    ckpts = sorted(
-        f for f in os.listdir(directory) if f.startswith("ckpt_")
-    )
-    if not ckpts:
-        return state_like, 0
-    latest = ckpts[-1]
-    step = int(latest.split("_")[1].split(".")[0])
-    path = os.path.join(directory, latest)
-    treedef = jax.tree_util.tree_structure(state_like)
-    if latest.endswith(".npz"):
+        return None
+    ckpts = sorted(f for f in os.listdir(directory) if f.startswith("ckpt_"))
+    return ckpts[-1] if ckpts else None
+
+
+def _load_ckpt_leaves(directory: str, name: str, state_like,
+                      check_fingerprint: bool = True):
+    """Raw numpy leaves of one checkpoint file/dir, in tree-flatten order.
+
+    ``check_fingerprint=False`` is the elastic-restore mode: leaf SHAPES may
+    legitimately differ from ``state_like`` (per-process walker shards of a
+    different process count); structural order is still the npz leaf
+    numbering / the orbax structure walk.
+    """
+    step = int(name.split("_")[1].split(".")[0])
+    path = os.path.join(directory, name)
+    if name.endswith(".npz"):
         data = np.load(path)
         if "__fingerprint__" in data.files:
-            want = _fingerprint(_to_numpy_tree(state_like))
-            got = str(data["__fingerprint__"])
-            if json.loads(got) != json.loads(want):
-                raise ValueError(
-                    f"checkpoint structure mismatch at {path}: the saved "
-                    f"TrainState layout does not match the one being "
-                    f"restored into.\n saved: {got}\n  live: {want}"
-                )
+            if check_fingerprint:
+                want = _fingerprint(_to_numpy_tree(state_like))
+                got = str(data["__fingerprint__"])
+                if json.loads(got) != json.loads(want):
+                    raise ValueError(
+                        f"checkpoint structure mismatch at {path}: the saved "
+                        f"TrainState layout does not match the one being "
+                        f"restored into.\n saved: {got}\n  live: {want}"
+                    )
             keys = sorted(k for k in data.files if k.startswith("leaf_"))
             leaves = [data[k] for k in keys]
         else:  # legacy positional npz (pre-fingerprint)
@@ -169,22 +167,139 @@ def restore_checkpoint(directory: str, state_like):
         import orbax.checkpoint as ocp
 
         ckptr = ocp.PyTreeCheckpointer()
-        try:
-            restored = ckptr.restore(
-                os.path.abspath(path), item=_to_numpy_tree(state_like)
-            )
-            leaves = jax.tree_util.tree_leaves(restored)
-        except Exception:
-            # Container-shape evolution (e.g. TrainState gained fields whose
-            # value is None): restore the raw saved tree (orbax returns
+        leaves = None
+        if check_fingerprint:
+            try:
+                restored = ckptr.restore(
+                    os.path.abspath(path), item=_to_numpy_tree(state_like)
+                )
+                leaves = jax.tree_util.tree_leaves(restored)
+            except Exception:
+                leaves = None
+        if leaves is None:
+            # Container-shape evolution (TrainState gained None fields) or
+            # elastic restore: load the raw saved tree (orbax returns
             # name-keyed dicts) and re-walk it in the live structure's order.
             raw = ckptr.restore(os.path.abspath(path))
-            leaves = jax.tree_util.tree_leaves(_match_structure(raw, state_like))
-        if len(leaves) != len(jax.tree_util.tree_leaves(state_like)):
-            raise ValueError(
-                f"checkpoint at {path} has {len(leaves)} leaves; live state "
-                f"expects {len(jax.tree_util.tree_leaves(state_like))}"
+            leaves = jax.tree_util.tree_leaves(
+                _match_structure(raw, state_like))
+    n_like = len(jax.tree_util.tree_leaves(state_like))
+    if len(leaves) != n_like:
+        raise ValueError(
+            f"checkpoint at {path} has {len(leaves)} leaves; live state "
+            f"expects {n_like}"
+        )
+    return leaves, step
+
+
+def _slice_local(global_np, like):
+    """This process's row block of a globally-merged leaf (identity for
+    fully-addressable or replicated leaves)."""
+    if not isinstance(like, jax.Array) or like.is_fully_addressable:
+        return global_np
+    local_shape = tuple(_local_numpy(like).shape)
+    if local_shape == tuple(global_np.shape):
+        return global_np  # replicated
+    rows = local_shape[0]
+    off = jax.process_index() * rows
+    return global_np[off : off + rows]
+
+
+def _restore_resharded(directory: str, proc_dirs, state_like):
+    """Elastic restore: a checkpoint saved at a DIFFERENT process count.
+
+    Walker-sharded leaves (their saved per-process shards differ from the
+    live global shape on axis 0) are concatenated across the saved
+    ``procNNNNN`` shards into the global array; replicated leaves take the
+    rank-0 copy.  Each live process then slices its own contiguous row block
+    back out (the walker mesh assigns row blocks in process order).  The
+    reverse direction — a single-process global checkpoint restored into a
+    multi-process run — is the no-proc-dirs branch.  Requires the saved
+    shards to be readable from every restoring host (shared or synced
+    filesystem).
+    """
+    like_leaves = jax.tree_util.tree_leaves(state_like)
+    if proc_dirs:
+        name = _latest_name(os.path.join(directory, proc_dirs[0]))
+        if name is None:
+            return state_like, 0
+        per_proc = []
+        for d in proc_dirs:
+            leaves, step = _load_ckpt_leaves(
+                os.path.join(directory, d), name, state_like,
+                check_fingerprint=False,
             )
+            per_proc.append(leaves)
+        merged = []
+        for parts, like in zip(zip(*per_proc), like_leaves):
+            gshape = tuple(np.shape(like))
+            p0 = np.asarray(parts[0])
+            if p0.ndim == 0 or tuple(p0.shape) == gshape:
+                merged.append(p0)  # replicated (saved redundantly per rank)
+            else:
+                cat = np.concatenate([np.asarray(p) for p in parts], axis=0)
+                if tuple(cat.shape) != gshape:
+                    raise ValueError(
+                        f"cannot reshard leaf from {len(parts)} saved shards "
+                        f"of shape {p0.shape} into live shape {gshape}"
+                    )
+                merged.append(cat)
+    else:
+        name = _latest_name(directory)
+        if name is None:
+            return state_like, 0
+        merged, step = _load_ckpt_leaves(
+            directory, name, state_like, check_fingerprint=False
+        )
+    leaves = [
+        _place_like(_slice_local(g, like), like)
+        for g, like in zip(merged, like_leaves)
+    ]
+    treedef = jax.tree_util.tree_structure(state_like)
+    return jax.tree_util.tree_unflatten(treedef, leaves), step
+
+
+def restore_checkpoint(directory: str, state_like):
+    """Restore the latest checkpoint into the structure of ``state_like``.
+
+    Leaves are re-placed with the shardings of ``state_like`` (host leaves
+    stay host numpy), so restoring into a mesh-sharded TrainState — single-
+    or multi-process — lands the walkers back on their devices.  Elastic
+    recovery (absent in the reference, which has no checkpointing at all):
+    a checkpoint saved under a different process count — per-process
+    ``procNNNNN`` walker shards from a 2-host run restored into 1 process,
+    or a single global checkpoint restored into a sharded multi-process run
+    — is re-split/merged along the walker axis automatically.
+
+    Returns (state, step) or (state_like, 0) when no checkpoint exists.
+    """
+    proc_dirs = []
+    if os.path.isdir(directory):
+        proc_dirs = sorted(
+            d for d in os.listdir(directory)
+            if d.startswith("proc")
+            and os.path.isdir(os.path.join(directory, d))
+        )
+    nproc = jax.process_count()
+    step_of = lambda name: int(name.split("_")[1].split(".")[0])
+    if nproc == 1 and proc_dirs:
+        # A dir can hold BOTH old multi-proc shards and newer single-proc
+        # saves (an elastic resume that kept checkpointing); the newest
+        # step wins.
+        direct = _latest_name(directory)
+        shard = _latest_name(os.path.join(directory, proc_dirs[0]))
+        if direct is None or (shard is not None
+                              and step_of(shard) > step_of(direct)):
+            return _restore_resharded(directory, proc_dirs, state_like)
+    elif nproc > 1 and len(proc_dirs) != nproc:
+        return _restore_resharded(directory, proc_dirs, state_like)
+
+    directory = _proc_dir(directory)
+    name = _latest_name(directory)
+    if name is None:
+        return state_like, 0
+    leaves, step = _load_ckpt_leaves(directory, name, state_like)
     like_leaves = jax.tree_util.tree_leaves(state_like)
     leaves = [_place_like(l, like) for l, like in zip(leaves, like_leaves)]
+    treedef = jax.tree_util.tree_structure(state_like)
     return jax.tree_util.tree_unflatten(treedef, leaves), step

@@ -114,6 +114,42 @@ def test_two_process_cpu_training(tmp_path):
     assert "iter: 003" in out0b and "iter: 002" not in out0b, out0b[-2000:]
 
 
+def test_two_proc_checkpoint_resumes_single(tmp_path):
+    """Elastic recovery: per-process walker shards saved by a 2-process run
+    restore into a SINGLE-process resume (``_restore_resharded`` merges the
+    ``procNNNNN`` shards along the walker axis), energies staying on the
+    oracle — the half of the elastic story the round-3 checkpointing lacked."""
+    ckpt = str(tmp_path / "ck")
+    _run_pair("ground_state", _gs_extra(2, ckpt))
+    assert os.path.isdir(os.path.join(ckpt, "proc00000"))
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = ""
+    env["JAX_COMPILATION_CACHE_DIR"] = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/fermiflow_tpu/jax_mp_cache"),
+    )
+    cmd = [
+        sys.executable, "-m", "fermiflow_tpu.cli.ground_state",
+        "--Z", "0.5", "--batch", "32",
+        "--Deta", "8", "--Dmu", "8", "--lr", "1e-3",
+    ] + _gs_extra(3, ckpt)
+    out = subprocess.run(
+        cmd, env=env, cwd=REPO, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stdout[-4000:]
+    # Continues from the 2-proc step-2 checkpoint: only iteration 3 runs,
+    # with the merged global walkers, and E stays on the N=3 Z=0.5 oracle.
+    assert "iter: 003" in out.stdout and "iter: 002" not in out.stdout, \
+        out.stdout[-2000:]
+    es = [float(m) for m in re.findall(r"iter: \d+ E: ([\d.eE+-]+)",
+                                       out.stdout)]
+    assert es and all(5.5 < e < 6.5 for e in es), es
+
+
 def test_two_process_finite_t():
     # Persistent chains: the maximal-coupling state refresh + the per-state
     # segment-sum baseline both run over the sharded global batch.
