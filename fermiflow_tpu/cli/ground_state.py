@@ -16,7 +16,11 @@ import optax
 
 from fermiflow_tpu.cli import common
 from fermiflow_tpu.parallel import make_walker_mesh, shard_walkers
-from fermiflow_tpu.train import init_gs_state, make_gs_train_step
+from fermiflow_tpu.train import (
+    init_gs_state,
+    make_gs_fused_multi_step,
+    make_gs_train_step,
+)
 from fermiflow_tpu.utils import MetricsLogger, restore_checkpoint
 
 
@@ -58,11 +62,19 @@ def main(argv=None):
             f"{rec.get('hours_per_100_iters', float('nan'))}"
         )
 
+    # On the Pallas-sampler path, K-iteration chunks compile to the fused
+    # multi-step: ONE multi-chain sampler launch feeds the whole chunk
+    # (train.make_gs_fused_multi_step).
+    make_chunk = None
+    if cfg.pallas_sampler and cfg.steps_per_call > 1:
+        make_chunk = lambda chunk: make_gs_fused_multi_step(
+            model, optimizer, cfg, chunk, mesh=mesh)
+
     state = common.run_training_loop(
         state, start_step, cfg, args,
         lambda jit: make_gs_train_step(model, optimizer, cfg, mesh=mesh,
                                        jit=jit),
-        logger, primary, print_row,
+        logger, primary, print_row, make_chunk=make_chunk,
     )
 
     if args.movie:

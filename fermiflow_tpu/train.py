@@ -31,6 +31,8 @@ from fermiflow_tpu import mcmc
 from fermiflow_tpu.config import Config
 from fermiflow_tpu.ops.pallas_metropolis import (
     metropolis_free_fermion,
+    metropolis_free_fermion_chains,
+    metropolis_free_fermion_chains_sharded,
     metropolis_free_fermion_multistate,
     metropolis_free_fermion_multistate_sharded,
     metropolis_free_fermion_sharded,
@@ -40,7 +42,8 @@ from fermiflow_tpu.vmc.beta import BetaVMC
 from fermiflow_tpu.vmc.gs import GSVMC
 
 __all__ = ["TrainState", "make_gs_train_step", "make_beta_train_step",
-           "make_multi_step", "init_gs_state", "init_beta_state"]
+           "make_gs_fused_multi_step", "make_multi_step",
+           "init_gs_state", "init_beta_state"]
 
 
 def make_multi_step(raw_step_fn, steps_per_call: int):
@@ -149,6 +152,60 @@ def _le_backend(cfg: Config, model, dtype) -> str:
     return "xla"
 
 
+def _make_gs_update(model: GSVMC, optimizer, cfg: Config, mesh):
+    """(state, z) -> (params, opt_state, loss, metrics): everything in the
+    GS iteration AFTER base sampling — local energy, REINFORCE gradient,
+    Adam — shared by the per-iteration step and the fused-sampler multi-step."""
+    wshard = walker_sharding(mesh) if mesh is not None else None
+    dtype = cfg.jnp_dtype()
+    le_backend = _le_backend(cfg, model, dtype)
+
+    def update(state: TrainState, z):
+        z = _constrain(z, wshard)
+        if _use_hessian_flow(cfg, model.cnf) and le_backend == "pallas" \
+                and cfg.pallas_reinforce:
+            # Fully fused path: Eloc from the forward Hessian-flow kernel,
+            # the REINFORCE parameter gradient from the closed-form adjoint
+            # kernel — no autodiff through the flow at all.
+            loss, metrics, grads = model.loss_metrics_grads_pallas(
+                state.params, z,
+                pallas_interpret=cfg.pallas_interpret, mesh=mesh,
+            )
+        elif _use_hessian_flow(cfg, model.cnf):
+            # Forward augmented flow: Eloc straight from the base samples.
+            loss_fn = lambda p, zz: model.loss_and_metrics_from_base(
+                p, zz, backend=le_backend,
+                pallas_interpret=cfg.pallas_interpret, mesh=mesh,
+            )
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, z)
+        else:
+            x = model.cnf.generate(state.params, z)
+            x = jax.lax.stop_gradient(_constrain(x, wshard))
+            (loss, metrics), grads = jax.value_and_grad(
+                model.loss_and_metrics, has_aux=True
+            )(state.params, x)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return params, opt_state, loss, metrics
+
+    return update
+
+
+def _gs_occupations(model: GSVMC):
+    """Static occupation tuples + Hermite depth for the fused kernels."""
+    orb = model.basedist.orbitals
+    nx_occ = tuple(int(v) for v in orb.nx[model.occ_up])
+    ny_occ = tuple(int(v) for v in orb.ny[model.occ_up])
+    nx_dn = tuple(int(v) for v in orb.nx[model.occ_down])
+    ny_dn = tuple(int(v) for v in orb.ny[model.occ_down])
+    all_q = nx_occ + ny_occ + nx_dn + ny_dn
+    kshells = int(max(all_q)) + 1 if all_q else 1
+    return nx_occ, ny_occ, nx_dn, ny_dn, kshells
+
+
 def init_gs_state(model: GSVMC, params, cfg: Config, optimizer) -> TrainState:
     dtype = cfg.jnp_dtype()
     key = jax.random.PRNGKey(cfg.seed)
@@ -176,16 +233,10 @@ def make_gs_train_step(model: GSVMC, optimizer, cfg: Config, mesh=None,
 
     base_logp = lambda z: model.basedist.log_prob(model.occ_up, model.occ_down, z)
     use_pallas = cfg.pallas_sampler and dtype == jnp.float32
-    le_backend = _le_backend(cfg, model, dtype)
-    orb = model.basedist.orbitals
-    nx_occ = tuple(int(v) for v in orb.nx[model.occ_up])
-    ny_occ = tuple(int(v) for v in orb.ny[model.occ_up])
-    nx_dn = tuple(int(v) for v in orb.nx[model.occ_down])
-    ny_dn = tuple(int(v) for v in orb.ny[model.occ_down])
     # Hermite recurrence depth: only as deep as the occupied orbitals need
     # (the full shell count would waste ~2x table work at small N).
-    all_q = nx_occ + ny_occ + nx_dn + ny_dn
-    kshells = int(max(all_q)) + 1 if all_q else 1
+    nx_occ, ny_occ, nx_dn, ny_dn, kshells = _gs_occupations(model)
+    update = _make_gs_update(model, optimizer, cfg, mesh)
 
     def sample_base(k_mcmc, z0, n_steps, tau):
         if use_pallas:
@@ -223,32 +274,7 @@ def make_gs_train_step(model: GSVMC, optimizer, cfg: Config, mesh=None,
         ms = sample_base(k_mcmc, z0, n_steps, tau)
         z = _constrain(ms.x, wshard)
 
-        if _use_hessian_flow(cfg, model.cnf) and le_backend == "pallas" \
-                and cfg.pallas_reinforce:
-            # Fully fused path: Eloc from the forward Hessian-flow kernel,
-            # the REINFORCE parameter gradient from the closed-form adjoint
-            # kernel — no autodiff through the flow at all.
-            loss, metrics, grads = model.loss_metrics_grads_pallas(
-                state.params, z,
-                pallas_interpret=cfg.pallas_interpret, mesh=mesh,
-            )
-        elif _use_hessian_flow(cfg, model.cnf):
-            # Forward augmented flow: Eloc straight from the base samples.
-            loss_fn = lambda p, zz: model.loss_and_metrics_from_base(
-                p, zz, backend=le_backend,
-                pallas_interpret=cfg.pallas_interpret, mesh=mesh,
-            )
-            (loss, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params, z)
-        else:
-            x = model.cnf.generate(state.params, z)
-            x = jax.lax.stop_gradient(_constrain(x, wshard))
-            (loss, metrics), grads = jax.value_and_grad(
-                model.loss_and_metrics, has_aux=True
-            )(state.params, x)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        params, opt_state, loss, metrics = update(state, z)
 
         new_tau = (
             mcmc.adapt_tau(ms, cfg.tau_target_accept, cfg.tau_gain)
@@ -269,6 +295,79 @@ def make_gs_train_step(model: GSVMC, optimizer, cfg: Config, mesh=None,
         )
 
     return jax.jit(step_fn, donate_argnums=0) if jit else step_fn
+
+
+def make_gs_fused_multi_step(model: GSVMC, optimizer, cfg: Config,
+                             steps_per_call: int, mesh=None, jit: bool = True):
+    """K GS training iterations per program with ONE multi-chain sampler
+    launch (round-4 answer to the r3 VERDICT's top item).
+
+    The base-distribution Metropolis chains are parameter-independent, so
+    inside a ``steps_per_call``-iteration program ALL K iterations' chains
+    run in a single ``metropolis_free_fermion_chains`` kernel launch —
+    walker state never leaves VMEM between iterations' chains and the
+    per-launch/relayout overhead is paid once per program instead of once
+    per iteration.  Per-walker tau adaptation moves INSIDE the kernel
+    (identical update rule between segments); snapshots feed the
+    per-iteration local-energy/gradient/Adam scan.  Physics is the same
+    protocol as the scanned ``make_gs_train_step`` — only the RNG stream
+    layout differs (one seed per program instead of per iteration).
+
+    Drop-in replacement for ``make_multi_step(make_gs_train_step(...),
+    K)`` on the Pallas-sampler path (f32, TPU or interpret).
+    """
+    wshard = walker_sharding(mesh) if mesh is not None else None
+    dtype = cfg.jnp_dtype()
+    assert cfg.pallas_sampler and dtype == jnp.float32, (
+        "fused multi-step requires the Pallas sampler (f32)"
+    )
+    nx_occ, ny_occ, nx_dn, ny_dn, kshells = _gs_occupations(model)
+    update = _make_gs_update(model, optimizer, cfg, mesh)
+    K = steps_per_call
+
+    def multi(state: TrainState):
+        key, k_init, k_mcmc = jax.random.split(state.key, 3)
+        seed = jax.random.randint(k_mcmc, (), 0, 2**31 - 1, dtype=jnp.int32)
+        if cfg.persistent_walkers:
+            z0, n_steps, tau, reinit = (
+                state.walkers, cfg.mcmc_steps, state.tau, False)
+        else:
+            z0 = jax.random.normal(k_init, state.walkers.shape, dtype=dtype)
+            n_steps, tau, reinit = (
+                cfg.equilibrium_steps, jnp.asarray(cfg.tau, dtype), True)
+        z0 = _constrain(z0, wshard)
+        common = dict(
+            steps=n_steps, segments=K, nx_occ=nx_occ, ny_occ=ny_occ,
+            num_shells=kshells, interpret=cfg.pallas_interpret,
+            nx_dn=nx_dn, ny_dn=ny_dn, target=cfg.tau_target_accept,
+            gain=cfg.tau_gain, reinit=reinit,
+        )
+        if mesh is None:
+            zs, _, rates, tau_out = metropolis_free_fermion_chains(
+                z0, seed, tau, **common)
+        else:
+            zs, _, rates, tau_out = metropolis_free_fermion_chains_sharded(
+                mesh, z0, seed, tau, **common)
+
+        def body(s, inputs):
+            z_k, rate_k = inputs
+            params, opt_state, loss, metrics = update(s, z_k)
+            metrics = dict(metrics, accept_rate=jnp.mean(rate_k), loss=loss)
+            return (
+                s._replace(params=params, opt_state=opt_state,
+                           step=s.step + 1),
+                metrics,
+            )
+
+        state2, metrics = jax.lax.scan(
+            body, state._replace(key=key), (zs, rates))
+        state2 = state2._replace(
+            walkers=_constrain(zs[-1], wshard),
+            tau=jnp.broadcast_to(tau_out, state.tau.shape).astype(dtype),
+        )
+        return state2, metrics
+
+    return jax.jit(multi, donate_argnums=0) if jit else multi
 
 
 def init_beta_state(model: BetaVMC, params, cfg: Config, optimizer) -> TrainState:

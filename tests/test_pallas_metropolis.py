@@ -208,3 +208,153 @@ def test_kernel_logp_two_spin_sectors_interpret():
     np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-6)
     want = bd.log_prob(occ_up, occ_dn, x0)
     np.testing.assert_allclose(np.asarray(logp), np.asarray(want), atol=1e-4)
+
+
+def test_choose_block_awkward_batches():
+    """Awkward batch sizes pad up to a legal Mosaic grid instead of silently
+    launching one giant full-array block (round-3 VERDICT weak spot #8)."""
+    from fermiflow_tpu.ops.pallas_metropolis import _choose_block
+
+    # Friendly sizes: unchanged, no padding.
+    assert _choose_block(8192) == (2048, 8192)
+    assert _choose_block(1024) == (1024, 1024)
+    assert _choose_block(8192, cap=1024) == (1024, 8192)
+    # Small batches: one full-array block, rounded up to the sublane count.
+    assert _choose_block(132) == (136, 136)
+    assert _choose_block(2) == (8, 8)
+    # Large with no 1024-multiple divisor: pad to the next 1024 multiple.
+    bw, bp = _choose_block(8200)
+    assert bp == 9216 and bp % bw == 0 and bw % 1024 == 0 and bw <= 2048
+    bw, bp = _choose_block(2056, cap=1024)
+    assert bp == 3072 and bw == 1024
+
+
+def test_awkward_batch_logp_padding_interpret():
+    """B=132 (not a multiple of 8) and B=2056 (no block divisor) run through
+    the padding path; outputs slice back to B and logp stays exact."""
+    from fermiflow_tpu.ops.pallas_metropolis import metropolis_free_fermion
+
+    occ, nx_occ, ny_occ = _occ_tuples(3)
+    for B in (132, 2056):
+        x0 = jax.random.normal(
+            jax.random.PRNGKey(B), (B, 3, 2), dtype=jnp.float32
+        )
+        x, logp, acc = metropolis_free_fermion(
+            x0, 7, 0.1, 0, nx_occ, ny_occ, interpret=True
+        )
+        assert x.shape == (B, 3, 2) and logp.shape == (B,)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-6)
+        want = bd.log_prob(occ, (), x0)
+        # atol 1e-3: one in ~2e3 walkers hits a worse-conditioned f32
+        # determinant than the small-batch interpret tests see.
+        np.testing.assert_allclose(np.asarray(logp), np.asarray(want),
+                                   atol=1e-3)
+
+
+def test_awkward_batch_multistate_padding_interpret():
+    from fermiflow_tpu.ops.pallas_metropolis import (
+        metropolis_free_fermion_multistate,
+    )
+
+    occ_table, _ = orb.fermion_states(3, 0, 2.0)
+    B = 132
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    idx = jax.random.randint(k1, (B,), 0, occ_table.shape[0])
+    x0 = jax.random.normal(k2, (B, 3, 2), dtype=jnp.float32)
+    occ = jnp.take(jnp.asarray(occ_table), idx, axis=0)
+    nx = jnp.take(jnp.asarray(orb.nx), occ)
+    ny = jnp.take(jnp.asarray(orb.ny), occ)
+    x, logp, acc = metropolis_free_fermion_multistate(
+        x0, 7, 0.1, 0, nx, ny, interpret=True
+    )
+    assert logp.shape == (B,)
+    want = bd.log_prob_multstates(jnp.asarray(occ_table), idx, x0)
+    np.testing.assert_allclose(np.asarray(logp), np.asarray(want), atol=1e-3)
+
+
+@needs_tpu
+def test_awkward_batch_chain_tpu():
+    from fermiflow_tpu.ops.pallas_metropolis import metropolis_free_fermion
+
+    occ, nx_occ, ny_occ = _occ_tuples(6)
+    B = 8200
+    x0 = jax.random.normal(jax.random.PRNGKey(3), (B, 6, 2),
+                           dtype=jnp.float32)
+    x, logp, acc = metropolis_free_fermion(x0, 7, 0.1, 50, nx_occ, ny_occ)
+    assert x.shape == (B, 6, 2)
+    assert 0.5 < float(acc.mean()) < 0.95
+    want = bd.log_prob(occ, (), x)
+    np.testing.assert_allclose(np.asarray(logp), np.asarray(want), atol=1e-3)
+
+
+def test_multichain_kernel_snapshots_and_tau_interpret():
+    """steps=0 chains, 3 segments: snapshots replicate the initial state,
+    logp is exact, and the in-kernel tau adaptation applies the production
+    rule tau *= exp(gain*(0 - target)) once per segment — deterministic, so
+    exactly checkable in the interpreter."""
+    from fermiflow_tpu.ops.pallas_metropolis import (
+        metropolis_free_fermion_chains,
+    )
+
+    occ, nx_occ, ny_occ = _occ_tuples(3)
+    B, S = 64, 3
+    target, gain = 0.5, 0.1
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (B, 3, 2),
+                           dtype=jnp.float32)
+    tau0 = jnp.linspace(0.05, 0.2, B).astype(jnp.float32)
+    xs, logps, rates, tau_out = metropolis_free_fermion_chains(
+        x0, 7, tau0, 0, S, nx_occ, ny_occ, interpret=True,
+        target=target, gain=gain,
+    )
+    assert xs.shape == (S, B, 3, 2)
+    want = np.asarray(bd.log_prob(occ, (), x0))
+    for s in range(S):
+        np.testing.assert_allclose(np.asarray(xs[s]), np.asarray(x0),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(logps[s]), want, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(rates[s]), 0.0)
+    # S applications of the adaptation rule at rate 0.
+    want_tau = np.asarray(tau0) * np.exp(gain * (0.0 - target)) ** S
+    np.testing.assert_allclose(np.asarray(tau_out), want_tau, rtol=1e-5)
+
+
+def test_multichain_kernel_reinit_keeps_tau_interpret():
+    from fermiflow_tpu.ops.pallas_metropolis import (
+        metropolis_free_fermion_chains,
+    )
+
+    occ, nx_occ, ny_occ = _occ_tuples(3)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (32, 3, 2),
+                           dtype=jnp.float32)
+    xs, logps, rates, tau_out = metropolis_free_fermion_chains(
+        x0, 7, 0.1, 0, 2, nx_occ, ny_occ, interpret=True, reinit=True,
+    )
+    # Compatibility mode: fixed tau, and segment 0 still starts from x0.
+    np.testing.assert_allclose(np.asarray(tau_out), 0.1, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(xs[0]), np.asarray(x0), atol=1e-6)
+
+
+@needs_tpu
+def test_multichain_kernel_chain_tpu():
+    """Real chains: per-segment acceptance sane, final logp consistent, and
+    the persistent multi-chain run drives tau toward the target acceptance."""
+    from fermiflow_tpu.ops.pallas_metropolis import (
+        metropolis_free_fermion_chains,
+    )
+
+    occ, nx_occ, ny_occ = _occ_tuples(6)
+    B, S = 4096, 10
+    x0 = jax.random.normal(jax.random.PRNGKey(2), (B, 6, 2),
+                           dtype=jnp.float32)
+    xs, logps, rates, tau_out = metropolis_free_fermion_chains(
+        x0, 7, 0.1, 30, S, nx_occ, ny_occ,
+    )
+    assert xs.shape == (S, B, 6, 2)
+    r = np.asarray(rates).mean(axis=1)
+    assert 0.4 < r.min() and r.max() < 0.95, r
+    want = bd.log_prob(occ, (), xs[-1])
+    np.testing.assert_allclose(np.asarray(logps[-1]), np.asarray(want),
+                               atol=1e-3)
+    # tau rose from 0.1 toward the 0.5-acceptance point (accept ~0.75 at
+    # tau=0.1 for N=6).
+    assert float(np.asarray(tau_out).mean()) > 0.1

@@ -291,3 +291,32 @@ def test_metrics_logger_log_many(tmp_path):
     assert [r["step"] for r in lines] == [11, 12, 13]
     assert lines[2]["E"] == 4.25 and lines[0]["accept_rate"] == 0.5
     assert all(abs(r["iter_seconds"] - 0.1) < 0.05 for r in rows)
+
+
+def test_gs_fused_multi_step_runs_interpret():
+    """The fused multi-chain-sampler multi-step (one Pallas launch feeding K
+    scanned iterations, train.make_gs_fused_multi_step) compiles and runs in
+    interpret mode: stacked per-iteration metrics, advancing step counter,
+    persistent walkers + tau carried out of the kernel.  (Distributional
+    equivalence with the per-iteration step is TPU-gated — interpret mode
+    stubs the on-core PRNG.)"""
+    import optax
+
+    from fermiflow_tpu.cli import common as cli_common
+    from fermiflow_tpu.config import Config
+    from fermiflow_tpu.train import init_gs_state, make_gs_fused_multi_step
+
+    cfg = Config(
+        nup=3, Z=0.5, batch=64, d_eta=8, d_mu=8, ode_steps=2,
+        equilibrium_steps=2, mcmc_steps=2, persistent_walkers=True,
+        dtype="float32", pallas_sampler=True, pallas_interpret=True,
+    )
+    model, params = cli_common.build_gs(cfg)
+    opt = optax.adam(cfg.lr)
+    state = init_gs_state(model, params, cfg, opt)
+    fn = make_gs_fused_multi_step(model, opt, cfg, 3)
+    state2, metrics = fn(state)
+    assert metrics["E"].shape == (3,)
+    assert int(state2.step) == 3
+    assert state2.walkers.shape == state.walkers.shape
+    assert np.all(np.isfinite(np.asarray(state2.tau)))
