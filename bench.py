@@ -88,6 +88,12 @@ def _sampler_flops(n: int, K: int, dim: int = 2) -> float:
     )
 
 
+# RHS evaluations per fixed-grid dopri5 step: the tableau in
+# ode/integrators.py omits the zero-weight FSAL 7th stage, so the honest
+# count is 6 (rounds 1-3 modeled 7, overstating kernel utilization ~17%).
+DOPRI5_STAGES = 6
+
+
 def _hflow_flops(n: int, d_eta: int, d_mu: int, dim: int = 2) -> float:
     """Flop-equivalents per walker per RK STAGE of the fused Hessian-flow
     kernel (ops/pallas_hessian_flow.py).
@@ -96,7 +102,8 @@ def _hflow_flops(n: int, d_eta: int, d_mu: int, dim: int = 2) -> float:
       pair MLP (4 derivative orders, hidden loop): P x d_eta x ~14
       one-body MLP                                : n x d_mu x ~14
       field tensors (A, gdiv, S, T assembly)      : ~8 d^2 + 20 P
-      dH/dt = -S - T - (A^T H + H A)              : ~4 d^3  (two d^3 MACs)
+      dH/dt = -S - T - (A H + H A), packed sym    : ~4 d^3  (2 MACs x
+                                                    d(d+1)/2 x 2d entries)
       dg/dt, dlogp/dt, RK combine                 : ~2 d^2 + 10 d
     """
     d = n * dim
@@ -238,6 +245,12 @@ def main():
     ms_wps = BATCH * MCMC_STEPS * REPS / dt_ms
 
     # ---- GS full train step (sample + local energy + grad + Adam) ----
+    # Protocol matches rounds 1-3 for comparability: NON-persistent, 100
+    # equilibration steps per iteration.  On TPU the K iterations run as the
+    # fused multi-chain-sampler program (train.make_gs_fused_multi_step):
+    # ONE sampler kernel launch feeds all TRAIN_REPS iterations.
+    from fermiflow_tpu.train import make_gs_fused_multi_step
+
     cfg = Config(
         nup=NUP,
         Z=0.5,
@@ -255,21 +268,39 @@ def main():
     )
     optimizer = optax.adam(cfg.lr)
     state = init_gs_state(model, params, cfg, optimizer)
-    raw_step = make_gs_train_step(model, optimizer, cfg, jit=False)
 
-    @jax.jit
-    def multi_step(state):
-        def body(s, _):
-            s2, m = raw_step(s)
-            return s2, m["E"]
-        return jax.lax.scan(body, state, None, length=TRAIN_REPS)
+    def _time_multi_step(cfg, model, state):
+        if on_tpu:
+            fn = make_gs_fused_multi_step(model, optimizer, cfg, TRAIN_REPS)
+        else:
+            raw_step = make_gs_train_step(model, optimizer, cfg, jit=False)
 
-    state, Es = multi_step(state)
-    _fetch(Es)  # compile + warmup (donation layout settles on call 2)
-    t0 = time.perf_counter()
-    state, Es = multi_step(state)
-    _fetch(Es)
-    step_s = (time.perf_counter() - t0) / TRAIN_REPS
+            @jax.jit
+            def fn(state):
+                def body(s, _):
+                    s2, m = raw_step(s)
+                    return s2, m
+                return jax.lax.scan(body, state, None, length=TRAIN_REPS)
+
+        state, m = fn(state)
+        _fetch(m["E"])  # compile + warmup (donation layout settles on 2)
+        t0 = time.perf_counter()
+        state, m = fn(state)
+        Es = _fetch(m["E"])
+        return (time.perf_counter() - t0) / TRAIN_REPS, state, Es
+
+    step_s, state, Es = _time_multi_step(cfg, model, state)
+
+    # Production protocol: persistent adapted-tau chains, 30 steps/iter
+    # (what the CLI runs with --persistent --steps-per-call).
+    pcfg = Config(
+        nup=NUP, Z=0.5, batch=BATCH, ode_steps=8, mcmc_steps=30,
+        persistent_walkers=True, laplacian_chunk=512, lr=1e-3,
+        pallas_sampler=on_tpu, pallas_local_energy=on_tpu,
+        dtype="float32" if on_tpu else "float64",
+    )
+    pstate = init_gs_state(model, params, pcfg, optimizer)
+    pstep_s, _, _ = _time_multi_step(pcfg, model, pstate)
 
     # ---- isolated kernel timings (measured roofline, not estimates) ----
     d_eta, d_mu = 50, 50
@@ -301,7 +332,8 @@ def main():
 
         dt_k, _ = _time_reps(run_hflow, tparams, z_eq, y0k, g0k, H0k)
         kernel_fields["hflow_kernel_seconds"] = round(dt_k / KR, 5)
-        hflops = _hflow_flops(NUP, d_eta, d_mu) * 7 * cfg.ode_steps * BATCH
+        hflops = (_hflow_flops(NUP, d_eta, d_mu) * DOPRI5_STAGES
+                  * cfg.ode_steps * BATCH)
         kernel_fields["hflow_kernel_vpu_util"] = round(
             hflops / (dt_k / KR) / VPU_PEAK_FLOPS, 4)
 
@@ -325,10 +357,96 @@ def main():
         dt_r, _ = _time_reps(run_reinforce, tparams, xk, gk, wk)
         kernel_fields["reinforce_kernel_seconds"] = round(dt_r / KR, 5)
 
-    # Hessian-flow roofline for the train step: stages = 7 evals (dopri5)
-    # x ode_steps; the engine also pays the base val/grad/Hess + flow logp.
-    hflops_step = _hflow_flops(NUP, d_eta, d_mu) * 7 * cfg.ode_steps * BATCH
+    # Hessian-flow roofline for the train step: 6 RHS evals/step (dopri5,
+    # FSAL stage omitted) x ode_steps; the step also pays sampler + base
+    # VGH + the REINFORCE adjoint kernel, so this numerator UNDERCOUNTS the
+    # step's useful work — it is kept as the continuity metric vs r1-r3.
+    hflops_step = (_hflow_flops(NUP, d_eta, d_mu) * DOPRI5_STAGES
+                   * cfg.ode_steps * BATCH)
     train_gflops = hflops_step / step_s / 1e9
+
+    # ---- N=10 block (large-N scaling pinned by driver-captured JSON) ----
+    n10_fields = {}
+    if on_tpu:
+        N10, B10 = 10, 4096
+        occ10 = np.arange(N10, dtype=np.int32)
+        nx10 = tuple(int(v) for v in orb.nx[occ10])
+        ny10 = tuple(int(v) for v in orb.ny[occ10])
+        k10 = int(max(nx10 + ny10)) + 1
+        x10 = jax.random.normal(jax.random.PRNGKey(2), (B10, N10, 2),
+                                dtype=dtype)
+        R10 = 200
+
+        @jax.jit
+        def run_mcmc10(key, x0):
+            def body(i, carry):
+                x, _ = carry
+                seed = jax.random.randint(
+                    jax.random.fold_in(key, i), (), 0, 2**31 - 1,
+                    dtype=jnp.int32)
+                x2, _, acc = metropolis_free_fermion(
+                    x, seed, 0.1, MCMC_STEPS, nx10, ny10, k10)
+                return x2, acc
+            return jax.lax.fori_loop(
+                0, R10, body, (x0, jnp.zeros((B10,), dtype)))
+
+        dt10, (x10eq, acc10) = _time_reps(run_mcmc10, key, x10)
+        n10_fields["n10_sampler_wps"] = round(B10 * MCMC_STEPS * R10 / dt10, 1)
+        n10_fields["n10_sampler_accept"] = round(float(jnp.mean(acc10)), 3)
+
+        model10, params10 = _build(dtype, nup=N10, ode_steps=8,
+                                   laplacian_chunk=512)
+        cfg10 = Config(
+            nup=N10, Z=0.5, batch=B10, ode_steps=8, mcmc_steps=30,
+            persistent_walkers=True, laplacian_chunk=512, lr=1e-3,
+            pallas_sampler=True, pallas_local_energy=True, dtype="float32",
+        )
+        tp10 = jax.tree_util.tree_map(
+            lambda x: 5e-2 * jax.random.normal(
+                jax.random.PRNGKey(7), x.shape, x.dtype), params10)
+        bd10 = FreeFermion(orb)
+        y10, g10, H10 = jax.jit(
+            lambda zz: base_val_grad_hess(
+                lambda zs: bd10.log_prob(occ10, (), zs), zz)
+        )(x10eq)
+
+        @jax.jit
+        def run_hflow10(p, z, y0, g0, H0):
+            def body(i, acc):
+                x, lp, g, H = hessian_flow_pallas(
+                    p, z, y0 + 0.0 * i, g0, H0, 0.0, 1.0,
+                    steps=8, method="dopri5")
+                return acc + lp.sum() + jnp.trace(
+                    H, axis1=-2, axis2=-1).sum()
+            return jax.lax.fori_loop(0, KR, body, jnp.zeros((), jnp.float32))
+
+        dt_k10, _ = _time_reps(run_hflow10, tp10, x10eq, y10, g10, H10)
+        n10_fields["n10_hflow_kernel_seconds"] = round(dt_k10 / KR, 5)
+        hflops10 = _hflow_flops(N10, d_eta, d_mu) * DOPRI5_STAGES * 8 * B10
+        n10_fields["n10_hflow_kernel_vpu_util"] = round(
+            hflops10 / (dt_k10 / KR) / VPU_PEAK_FLOPS, 4)
+
+        xk10, _, gk10, _ = hessian_flow_pallas(
+            tp10, x10eq, y10, g10, H10, 0.0, 1.0, steps=8, method="dopri5")
+        wk10 = jax.random.normal(jax.random.PRNGKey(9), (B10,), dtype) / B10
+
+        @jax.jit
+        def run_reinforce10(p, x, g, w):
+            def body(i, acc):
+                grads, _ = reinforce_flow_grad_pallas(
+                    p, x, g, w + 0.0 * i, 0.0, 1.0, steps=8,
+                    method="dopri5")
+                return acc + sum(jnp.sum(l) for l in
+                                 jax.tree_util.tree_leaves(grads))
+            return jax.lax.fori_loop(0, KR, body, jnp.zeros((), jnp.float32))
+
+        dt_r10, _ = _time_reps(run_reinforce10, tp10, xk10, gk10, wk10)
+        n10_fields["n10_reinforce_kernel_seconds"] = round(dt_r10 / KR, 5)
+
+        state10 = init_gs_state(model10, params10, cfg10, optimizer)
+        pstep10_s, _, Es10 = _time_multi_step(cfg10, model10, state10)
+        n10_fields["n10_train_step_production_seconds"] = round(pstep10_s, 4)
+        n10_fields["n10_train_E"] = float(np.asarray(Es10)[-1])
 
     # ---- finite-T full train step ----
     bcfg = Config(
@@ -380,8 +498,9 @@ def main():
                 "mixed_state_wps": round(ms_wps, 1),
                 "mixed_state_accept": round(float(jnp.mean(acc_ms)), 3),
                 "train_step_seconds": round(step_s, 4),
+                "train_step_production_seconds": round(pstep_s, 4),
                 "train_hours_per_100_iters": round(step_s * 100 / 3600, 5),
-                "train_E": float(_fetch(Es)[-1]),
+                "train_E": float(np.asarray(Es)[-1]),
                 "train_gflops_est": round(train_gflops, 1),
                 "train_vpu_util_est": round(
                     train_gflops * 1e9 / VPU_PEAK_FLOPS, 4

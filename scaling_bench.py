@@ -23,13 +23,18 @@ import optax
 from fermiflow_tpu.cli import common
 from fermiflow_tpu.config import Config
 from fermiflow_tpu.parallel import make_walker_mesh, shard_walkers
-from fermiflow_tpu.train import init_gs_state, make_gs_train_step
+from fermiflow_tpu.train import (
+    init_beta_state,
+    init_gs_state,
+    make_beta_train_step,
+    make_gs_train_step,
+)
 
 BATCH_PER_DEVICE = 1024
 REPS = 5
 
 
-def measure(devices, cfg_kwargs):
+def measure(devices, cfg_kwargs, finite_t=False):
     ndev = len(devices)
     cfg = Config(
         nup=6,
@@ -42,15 +47,23 @@ def measure(devices, cfg_kwargs):
         lr=1e-3,
         **cfg_kwargs,
     )
-    model, params = common.build_gs(cfg)
     optimizer = optax.adam(cfg.lr)
     mesh = make_walker_mesh(devices)
-    state = init_gs_state(model, params, cfg, optimizer)
+    if finite_t:
+        cfg.beta, cfg.deltaE, cfg.boltzmann = 2.0, 2.0, True
+        model, params = common.build_beta(cfg)
+        state = init_beta_state(model, params, cfg, optimizer)
+    else:
+        model, params = common.build_gs(cfg)
+        state = init_gs_state(model, params, cfg, optimizer)
     state = state._replace(
         walkers=shard_walkers(mesh, state.walkers),
         tau=shard_walkers(mesh, state.tau),
     )
-    raw = make_gs_train_step(model, optimizer, cfg, mesh=mesh, jit=False)
+    if finite_t:
+        raw = make_beta_train_step(model, optimizer, cfg, mesh=mesh, jit=False)
+    else:
+        raw = make_gs_train_step(model, optimizer, cfg, mesh=mesh, jit=False)
 
     @jax.jit
     def multi(state):
@@ -93,6 +106,20 @@ def main():
             "efficiency": round(wps / (base * ndev), 3),
             "E": round(E, 4),
         }
+    # Finite-T row (SURVEY §2.4(d-f)): the sharded BetaVMC step — Categorical
+    # draw + coupled refresh + segment baselines over the mesh — at 1 device
+    # and the full mesh.
+    beta_results = {}
+    bbase = None
+    for ndev in (1, len(devices)):
+        wps, E = measure(devices[:ndev], {"dtype": dtype}, finite_t=True)
+        if bbase is None:
+            bbase = wps
+        beta_results[str(ndev)] = {
+            "walker_steps_per_s": round(wps, 1),
+            "efficiency": round(wps / (bbase * ndev), 3),
+            "E": round(E, 4),
+        }
     print(
         json.dumps(
             {
@@ -100,6 +127,7 @@ def main():
                 "batch_per_device": BATCH_PER_DEVICE,
                 "platform": devices[0].platform,
                 "results": results,
+                "beta_results": beta_results,
             }
         )
     )

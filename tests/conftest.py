@@ -18,8 +18,16 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
-jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_default_device", jax.devices("cpu")[0])
+if os.environ.get("FERMIFLOW_TPU_TESTS"):
+    # Escape hatch for the TPU-gated tests (fused-kernel chains, sampler
+    # moments): leave the default backend (the chip) in place, f32.  The
+    # f64 CPU gates are skipped in this mode — run both invocations for
+    # full coverage:  pytest tests/  AND  FERMIFLOW_TPU_TESTS=1 pytest
+    # tests/test_pallas_metropolis.py ...
+    pass
+else:
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 import pytest  # noqa: E402
 
