@@ -39,4 +39,14 @@ timeout 3600 python -u validation/ode_solver_ab.py \
   --out validation/runs/ode_solver_ab.json > /tmp/q_odeab.log 2>&1
 echo "rc=$?"
 
+echo "=== 6. GS fused-multi-step flagship sanity (N=6, 600 iters) ==="
+timeout 3600 python -u -m fermiflow_tpu.cli.ground_state \
+  --nup 6 --Z 0.5 --batch 8192 --dtype float32 \
+  --persistent --mcmc-steps 30 --steps-per-call 10 --lr 3e-3 \
+  --iternum 600 --seed 42 \
+  --metrics validation/runs/gs_n6_z05_r4_fused.jsonl \
+  > /tmp/q_gs_fused.log 2>&1
+echo "rc=$?"
+tail -2 /tmp/q_gs_fused.log
+
 echo "QUEUE DONE"
