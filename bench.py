@@ -267,40 +267,62 @@ def main():
         dtype, nup=NUP, ode_steps=cfg.ode_steps, laplacian_chunk=512
     )
     optimizer = optax.adam(cfg.lr)
-    state = init_gs_state(model, params, cfg, optimizer)
+    # The timed programs donate their TrainState (production semantics),
+    # which deletes the param buffers — give every init its own copy.
+    params_host = jax.tree_util.tree_map(np.asarray, params)
+    fresh_params = lambda: jax.tree_util.tree_map(jnp.asarray, params_host)
+    state = init_gs_state(model, fresh_params(), cfg, optimizer)
 
-    def _time_multi_step(cfg, model, state):
-        if on_tpu:
-            fn = make_gs_fused_multi_step(model, optimizer, cfg, TRAIN_REPS)
+    def _time_multi_step(cfg, model, state, reps, fused, opt):
+        """Per-iteration seconds of `reps` scanned iterations per program.
+
+        fused=True uses the multi-chain-sampler program (ONE Metropolis
+        launch per program, train.make_gs_fused_multi_step).  Keep `reps`
+        at the production steps-per-call (10) there: each extra segment
+        grows the unrolled Mosaic kernel, and a 20-segment variant measured
+        >2 h of remote compile where the 10-segment production program
+        compiles in ~25 min (and is shared with the CLI's cache entry).
+        """
+        if fused and on_tpu:
+            fn = make_gs_fused_multi_step(model, opt, cfg, reps)
         else:
-            raw_step = make_gs_train_step(model, optimizer, cfg, jit=False)
+            raw_step = make_gs_train_step(model, opt, cfg, jit=False)
 
             @jax.jit
             def fn(state):
                 def body(s, _):
                     s2, m = raw_step(s)
                     return s2, m
-                return jax.lax.scan(body, state, None, length=TRAIN_REPS)
+                return jax.lax.scan(body, state, None, length=reps)
 
         state, m = fn(state)
         _fetch(m["E"])  # compile + warmup (donation layout settles on 2)
         t0 = time.perf_counter()
         state, m = fn(state)
         Es = _fetch(m["E"])
-        return (time.perf_counter() - t0) / TRAIN_REPS, state, Es
+        return (time.perf_counter() - t0) / reps, state, Es
 
-    step_s, state, Es = _time_multi_step(cfg, model, state)
+    # Continuity row (r1-r4 comparable): classic per-iteration scan,
+    # non-persistent 100-step protocol.
+    step_s, state, Es = _time_multi_step(
+        cfg, model, state, TRAIN_REPS, fused=False, opt=optimizer)
 
-    # Production protocol: persistent adapted-tau chains, 30 steps/iter
-    # (what the CLI runs with --persistent --steps-per-call).
+    # Production protocol row: persistent adapted-tau chains, 30 steps/iter,
+    # steps-per-call 10, fused multi-chain sampler — the EXACT program the
+    # CLI ships (lr 3e-3 matches the flagship run so the compile cache entry
+    # is shared with it).
+    PREPS = 10
     pcfg = Config(
         nup=NUP, Z=0.5, batch=BATCH, ode_steps=8, mcmc_steps=30,
-        persistent_walkers=True, laplacian_chunk=512, lr=1e-3,
+        persistent_walkers=True, laplacian_chunk=512, lr=3e-3,
+        steps_per_call=PREPS,
         pallas_sampler=on_tpu, pallas_local_energy=on_tpu,
         dtype="float32" if on_tpu else "float64",
     )
-    pstate = init_gs_state(model, params, pcfg, optimizer)
-    pstep_s, _, _ = _time_multi_step(pcfg, model, pstate)
+    popt = optax.adam(pcfg.lr)
+    pstate = init_gs_state(model, fresh_params(), pcfg, popt)
+    pstep_s, _, _ = _time_multi_step(
+        pcfg, model, pstate, PREPS, fused=True, opt=popt)
 
     # ---- isolated kernel timings (measured roofline, not estimates) ----
     d_eta, d_mu = 50, 50
@@ -443,9 +465,13 @@ def main():
         dt_r10, _ = _time_reps(run_reinforce10, tp10, xk10, gk10, wk10)
         n10_fields["n10_reinforce_kernel_seconds"] = round(dt_r10 / KR, 5)
 
+        # Classic per-iteration scan (persistent 30-step protocol): the
+        # fused n=10 multichain kernel would be another half-hour Mosaic
+        # compile for a row whose purpose is pinning large-N scaling.
         state10 = init_gs_state(model10, params10, cfg10, optimizer)
-        pstep10_s, _, Es10 = _time_multi_step(cfg10, model10, state10)
-        n10_fields["n10_train_step_production_seconds"] = round(pstep10_s, 4)
+        pstep10_s, _, Es10 = _time_multi_step(
+            cfg10, model10, state10, TRAIN_REPS, fused=False, opt=optimizer)
+        n10_fields["n10_train_step_seconds"] = round(pstep10_s, 4)
         n10_fields["n10_train_E"] = float(np.asarray(Es10)[-1])
 
     # ---- finite-T full train step ----
