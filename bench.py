@@ -324,6 +324,27 @@ def main():
     pstep_s, _, _ = _time_multi_step(
         pcfg, model, pstate, PREPS, fused=True, opt=popt)
 
+    # Reference-tolerance fast mode: ode_steps=4.  The trained-params error
+    # study (validation/runs/ode_steps_n6.json) puts the 4-step grid at
+    # |dE| ~ 8e-10 and gradient rel-err 1.6e-8 — five orders below MC noise
+    # and TIGHTER than the reference's own adaptive tolerance envelope
+    # (rtol 1e-6).  ode_steps=8 stays the conservative default; this row
+    # pins what the physics actually permits.
+    ode4_fields = {}
+    if on_tpu:
+        model4, _ = _build(dtype, nup=NUP, ode_steps=4, laplacian_chunk=512)
+        p4cfg = Config(
+            nup=NUP, Z=0.5, batch=BATCH, ode_steps=4, mcmc_steps=30,
+            persistent_walkers=True, laplacian_chunk=512, lr=3e-3,
+            steps_per_call=PREPS, pallas_sampler=True,
+            pallas_local_energy=True, dtype="float32",
+        )
+        p4state = init_gs_state(model4, fresh_params(), p4cfg, popt)
+        p4step_s, _, E4 = _time_multi_step(
+            p4cfg, model4, p4state, PREPS, fused=True, opt=popt)
+        ode4_fields["train_step_production_ode4_seconds"] = round(p4step_s, 4)
+        ode4_fields["train_ode4_E"] = float(np.asarray(E4)[-1])
+
     # ---- isolated kernel timings (measured roofline, not estimates) ----
     d_eta, d_mu = 50, 50
     kernel_fields = {}
@@ -541,6 +562,8 @@ def main():
                     2 * BATCH * NUP * 2 * 4
                     / max(marginal_per_chain, 1e-9) / HBM_BYTES_PER_S, 6
                 ),
+                **ode4_fields,
+                **n10_fields,
                 **kernel_fields,
                 "platform": jax.devices()[0].platform,
             }

@@ -658,7 +658,9 @@ def metropolis_free_fermion_multistate(
     """
     B, n, dim = x0.shape
     d = n * dim
-    # The multistate build holds more live tiles than the GS case.
+    # Same block cap as the GS case: the extra live tiles of the multistate
+    # build (one-hot masks + per-walker quantum numbers, ~70 tiles) sit far
+    # below the VMEM budget even at 256-lane tiles.
     if block_walkers:
         BW, Bp = block_walkers, B
         if B % BW or (BW != B and (BW // _SUB) % 128):
@@ -668,7 +670,7 @@ def metropolis_free_fermion_multistate(
                 f"BW == B"
             )
     else:
-        BW, Bp = _choose_block(B, cap=1024)
+        BW, Bp = _choose_block(B)
     tau_f = jnp.broadcast_to(jnp.asarray(tau, jnp.float32), (B,))
     if Bp != B:  # pad walkers (edge-replicated extra chains, sliced off)
         pad = ((0, Bp - B),)
