@@ -206,12 +206,13 @@ def run_training_loop(state, start_step, cfg, args, make_step, logger,
         return None
 
     def _note_healthy(recs):
+        if cfg.divergence_window <= 0:
+            return  # divergence check disabled; don't grow the window
         for r in recs:
             window.append(
                 (float(r[mkey]), float(r.get(mkey + "_std", 0.0)))
             )
-        if cfg.divergence_window > 0:
-            del window[: -cfg.divergence_window]
+        del window[: -cfg.divergence_window]
 
     def _recover(state, at_iter, reason):
         if not cfg.checkpoint_dir or restarts[0] >= cfg.max_restarts:
@@ -222,6 +223,14 @@ def run_training_loop(state, start_step, cfg, args, make_step, logger,
             )
         restarts[0] += 1
         state, step = restore_checkpoint(cfg.checkpoint_dir, state)
+        if step == 0:
+            # No checkpoint written yet: restore_checkpoint returned the
+            # (already-diverged) input state unchanged.  Continuing would
+            # keep training from garbage while re-logging step numbers.
+            raise FloatingPointError(
+                f"{reason} at iteration {at_iter} before the first "
+                f"checkpoint was written (nothing to restore)"
+            )
         # Perturb the stream so the retried trajectory diverges from the
         # one that blew up; the trailing window restarts from the restored
         # point (its statistics described the pre-divergence trajectory).

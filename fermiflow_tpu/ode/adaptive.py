@@ -66,7 +66,11 @@ def _error_norm(x, x_new, err, rtol, atol):
         count += xl.size
     # Floor keeps sqrt's gradient finite when the error vanishes (the masked
     # no-op steps of the differentiable variant hit exactly zero error).
-    return jnp.sqrt(jnp.maximum(total / count, 1e-300))
+    # Dtype-aware: a 1e-300 literal underflows to 0.0 in float32, which
+    # would silently disable the guard exactly on the TPU dtype.
+    ratio = total / count
+    tiny = jnp.finfo(jnp.result_type(ratio)).tiny
+    return jnp.sqrt(jnp.maximum(ratio, tiny))
 
 
 def odeint_adaptive(

@@ -493,6 +493,12 @@ def metropolis_free_fermion_chains(
     d = n * dim
     if block_walkers:
         BW, Bp = block_walkers, B
+        if B % BW or (BW != B and (BW // _SUB) % 128):
+            raise ValueError(
+                f"bad walker block {BW} for batch {B}: must divide B and "
+                f"give lane blocks divisible by 128 (BW % 1024 == 0) unless "
+                f"BW == B"
+            )
     else:
         BW, Bp = _choose_block(B)
     tau_f = jnp.broadcast_to(jnp.asarray(tau, jnp.float32), (B,))

@@ -230,11 +230,41 @@ def _restore_resharded(directory: str, proc_dirs, state_like):
                 check_fingerprint=False,
             )
             per_proc.append(leaves)
+        # Live batch size (walkers leaf axis 0): used to disambiguate a
+        # genuinely replicated leaf from a SHARDED leaf whose per-process
+        # shard happens to match the live global shape (e.g. a 2-process
+        # batch-2B checkpoint restored into a single-process batch-B run).
+        live_batch = (
+            int(np.shape(state_like.walkers)[0])
+            if hasattr(state_like, "walkers") else None
+        )
         merged = []
         for parts, like in zip(zip(*per_proc), like_leaves):
             gshape = tuple(np.shape(like))
             p0 = np.asarray(parts[0])
             if p0.ndim == 0 or tuple(p0.shape) == gshape:
+                if (
+                    live_batch is not None
+                    and p0.ndim > 0
+                    and p0.shape[0] == live_batch
+                    and len(parts) > 1
+                    and any(
+                        not np.array_equal(p0, np.asarray(q))
+                        for q in parts[1:]
+                    )
+                ):
+                    # A replicated leaf is bit-identical on every rank; a
+                    # batch-axis leaf that differs across saved shards was
+                    # walker-sharded, so the total saved batch is
+                    # len(parts) * rows != live batch.
+                    raise ValueError(
+                        f"batch-size mismatch: leaf of shape {p0.shape} "
+                        f"differs across the {len(parts)} saved process "
+                        f"shards (total saved batch "
+                        f"{len(parts) * p0.shape[0]}) but the live run's "
+                        f"batch is {live_batch}; restore with a matching "
+                        f"--batch instead"
+                    )
                 merged.append(p0)  # replicated (saved redundantly per rank)
             else:
                 cat = np.concatenate([np.asarray(p) for p in parts], axis=0)

@@ -193,6 +193,26 @@ def test_adaptive_differentiable_variant():
     np.testing.assert_allclose(float(g), base * -0.4 * T, atol=1e-6)
 
 
+def test_adaptive_differentiable_float32_grad_finite():
+    """float32 exercise of the differentiable variant: the error-norm floor
+    must be dtype-aware — a 1e-300 literal underflows to 0.0 in f32, and the
+    masked no-op steps' exactly-zero error would then NaN the gradient
+    through sqrt (ADVICE r4 / VERDICT r4 weak #6)."""
+    x0 = jnp.asarray(1.0, jnp.float32)
+
+    def solve(a1):
+        p = {"a1": a1, "a2": jnp.asarray(-0.4, jnp.float32)}
+        return odeint_adaptive(
+            f_linear, p, x0, 0.0, T, rtol=1e-4, atol=1e-6,
+            max_steps=64, differentiable=True,
+        )
+
+    g = jax.grad(solve)(jnp.asarray(0.7, jnp.float32))
+    assert np.isfinite(float(g))
+    base = np.exp(0.7 * -0.4 * T)
+    np.testing.assert_allclose(float(g), base * -0.4 * T, rtol=1e-2)
+
+
 def test_adaptive_backward_time():
     p = params0()
     xT = x_exact(p, jnp.asarray(1.5))
