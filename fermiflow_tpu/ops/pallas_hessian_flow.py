@@ -49,6 +49,33 @@ from fermiflow_tpu.ode.integrators import TABLEAUS
 
 __all__ = ["hessian_flow_pallas", "hessian_flow_pallas_sharded"]
 
+# Full-sublane tile factor: the (8, B/8) layout shared by every kernel in
+# ops/pallas_* — the io_tiles chaining mode requires it on both sides.
+SF_FULL = 8
+
+
+def hflow_layout(B, n, dim, stages, block_walkers=None):
+    """(BW, SF, Bpad) the wrapper will choose for these shapes.
+
+    Exported so callers can decide up front whether the io_tiles chaining
+    mode is available (it needs SF == 8 and Bpad == B).
+    """
+    d = n * dim
+    nut = d * (d + 1) // 2
+    bytes_per_walker = 4 * ((nut + 2 * d + 1) * (stages + 2)
+                            + 3 * nut + 10 * n * n)
+    budget = 11 * 2**20
+    if block_walkers is None:
+        block_walkers = 128
+        for cand in (2048, 1024, 512, 256):
+            if cand * bytes_per_walker <= budget:
+                block_walkers = cand
+                break
+    BW = min(B, block_walkers)
+    SF = max(1, min(8, BW // 128))
+    Bpad = -(-B // BW) * BW
+    return BW, SF, Bpad
+
 
 def _sigmoid(z):
     return 1.0 / (1.0 + jnp.exp(-z))
@@ -354,7 +381,8 @@ def _w2k(mlp_params):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("t0", "t1", "steps", "method", "block_walkers", "interpret"),
+    static_argnames=("t0", "t1", "steps", "method", "block_walkers",
+                     "interpret", "io_tiles"),
 )
 def hessian_flow_pallas(
     params: dict,
@@ -368,6 +396,7 @@ def hessian_flow_pallas(
     method: str = "dopri5",
     block_walkers: int | None = None,
     interpret: bool = False,
+    io_tiles: bool = False,
 ):
     """Fused fixed-grid integration of the augmented (x, logp, g, H) system.
 
@@ -375,9 +404,24 @@ def hessian_flow_pallas(
     backflow field, float32, dim=2.  Arguments and returns match it:
     z (B, n, dim), y0 (B,), g0 (B, nd), H0 (B, nd, nd) ->
     (x, logp, g, H) with the same shapes.
+
+    With ``io_tiles`` the four state arguments are raw sublane-major tile
+    blocks — z (d*8, B/8), y0 (8, B/8), g0 (d*8, B/8), H0 the PACKED upper
+    triangle (d(d+1)/2 * 8, B/8) — exactly what ``ops/pallas_slater_vgh``
+    emits with ``tiles_out``; outputs come back in the same raw form (H
+    packed).  No layout transition is materialized at either boundary.
+    Requires the auto-chosen layout to be the full-sublane one (SF == 8,
+    i.e. n small enough for BW >= 1024) and B an exact multiple of the
+    block size.
     """
-    B, n, dim = z.shape
-    d = n * dim
+    if io_tiles:
+        dim = 2
+        d = z.shape[0] // SF_FULL
+        n = d // dim
+        B = z.shape[1] * SF_FULL
+    else:
+        B, n, dim = z.shape
+        d = n * dim
     nut = d * (d + 1) // 2
     from fermiflow_tpu.ode.integrators import TABLEAUS as _TABS
 
@@ -389,44 +433,43 @@ def hessian_flow_pallas(
     # packed A/S/T working set, ~(nut+2d+1)(stages+2)+3*nut floats per
     # walker, nut = d(d+1)/2 with the symmetric-packed H) would overflow
     # VMEM at a 128-lane tile.
-    bytes_per_walker = 4 * ((nut + 2 * d + 1) * (stages + 2)
-                            + 3 * nut + 10 * n * n)
-    # Mosaic's measured scoped-vmem stack runs ~1.35x this model (16.21 MiB
-    # at n=10/BW=512 where the full-H model said 11.97 — the N=10 OOM of
-    # r3); an 11 MiB budget keeps the worst case under the 16 MiB scoped
-    # limit while leaving the n<=6 production choice (BW=1024, SF=8)
-    # unchanged.
-    budget = 11 * 2**20
-    if block_walkers is None:
-        block_walkers = 128
-        for cand in (2048, 1024, 512, 256):
-            if cand * bytes_per_walker <= budget:
-                block_walkers = cand
-                break
-    BW = min(B, block_walkers)
-    SF = max(1, min(8, BW // 128))
-    # Pad the walker axis to a multiple of the block (edge-replicated so the
-    # padded lanes stay finite); outputs are sliced back to B.
-    Bpad = -(-B // BW) * BW
-    if Bpad != B:
-        pad = ((0, Bpad - B),)
-        z, y0, g0, H0 = (
-            jnp.pad(a, pad + ((0, 0),) * (a.ndim - 1), mode="edge")
-            for a in (z, y0, g0, H0)
-        )
+    # The VMEM model (and its measured 1.35x Mosaic stack factor / 11 MiB
+    # budget rationale) lives in ``hflow_layout`` above: an 11 MiB budget
+    # keeps the n=10 worst case under the 16 MiB scoped limit while leaving
+    # the n<=6 production choice (BW=1024, SF=8) unchanged.  Padding is
+    # edge-replicated so the padded lanes stay finite; outputs are sliced
+    # back to B.
+    BW, SF, Bpad = hflow_layout(B, n, dim, stages, block_walkers)
     h = (float(t1) - float(t0)) / steps
-
     iu = np.triu_indices(d)
-    LP = Bpad // SF  # global lane dimension after sublane tiling
-    tile = lambda a: a.reshape(a.shape[0] * SF, LP)
-    x_cm = tile(z.reshape(Bpad, d).T.astype(jnp.float32))
-    logp_cm = tile(y0.astype(jnp.float32)[None, :])
-    g_cm = tile(g0.T.astype(jnp.float32))
-    # Packed symmetric H: only the upper triangle enters/leaves the kernel
-    # (half the relayout traffic and VMEM of the full d^2 block).
-    H_cm = tile(
-        H0.reshape(Bpad, d, d)[:, iu[0], iu[1]].T.astype(jnp.float32)
-    )
+    if io_tiles:
+        if SF != SF_FULL or Bpad != B:
+            raise ValueError(
+                f"io_tiles requires the full-sublane layout (SF=8, no "
+                f"padding); got SF={SF}, B={B}, Bpad={Bpad}"
+            )
+        LP = Bpad // SF
+        x_cm = z.astype(jnp.float32)
+        logp_cm = y0.astype(jnp.float32)
+        g_cm = g0.astype(jnp.float32)
+        H_cm = H0.astype(jnp.float32)
+    else:
+        if Bpad != B:
+            pad = ((0, Bpad - B),)
+            z, y0, g0, H0 = (
+                jnp.pad(a, pad + ((0, 0),) * (a.ndim - 1), mode="edge")
+                for a in (z, y0, g0, H0)
+            )
+        LP = Bpad // SF  # global lane dimension after sublane tiling
+        tile = lambda a: a.reshape(a.shape[0] * SF, LP)
+        x_cm = tile(z.reshape(Bpad, d).T.astype(jnp.float32))
+        logp_cm = tile(y0.astype(jnp.float32)[None, :])
+        g_cm = tile(g0.T.astype(jnp.float32))
+        # Packed symmetric H: only the upper triangle enters/leaves the
+        # kernel (half the relayout traffic and VMEM of the full d^2 block).
+        H_cm = tile(
+            H0.reshape(Bpad, d, d)[:, iu[0], iu[1]].T.astype(jnp.float32)
+        )
 
     eta = params["eta"]
     mu = params.get("mu")
@@ -484,6 +527,8 @@ def hessian_flow_pallas(
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(*weight_args, x_cm, logp_cm, g_cm, H_cm)
+    if io_tiles:
+        return x_out, logp_out, g_out, H_out
     untile = lambda a, rows: a.reshape(rows, Bpad)
     # Unpack the upper triangle back into the full symmetric Hessian.
     Hp = untile(H_out, nut).T[:B]  # (B, nut)

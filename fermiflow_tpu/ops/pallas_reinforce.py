@@ -64,6 +64,29 @@ from fermiflow_tpu.ode.integrators import TABLEAUS
 __all__ = ["reinforce_flow_grad_pallas", "reinforce_flow_grad_pallas_sharded"]
 
 
+def reinforce_layout(B, n, dim, d_eta, d_mu, stages, block_walkers=None):
+    """(BW, SF, Bpad) the wrapper will choose for these shapes.
+
+    VMEM per walker: state+slopes for (x, a) ((2d)(stages+2)), theta rows
+    (nq), pair scratch (~10 n^2).  Exported so callers can decide up front
+    whether the io_tiles chaining mode is available (SF == 8, Bpad == B).
+    """
+    d = n * dim
+    nq = 3 * d_eta + 3 * d_mu
+    bytes_per_walker = 4 * (2 * d * (stages + 2) + nq + 10 * n * n)
+    budget = 12 * 2**20
+    if block_walkers is None:
+        block_walkers = 128
+        for cand in (2048, 1024, 512, 256):
+            if cand * bytes_per_walker <= budget:
+                block_walkers = cand
+                break
+    BW = min(B, block_walkers)
+    SF = max(1, min(8, BW // 128))
+    Bpad = -(-B // BW) * BW
+    return BW, SF, Bpad
+
+
 def _sigmoid(z):
     return 1.0 / (1.0 + jnp.exp(-z))
 
@@ -313,7 +336,7 @@ def _reinforce_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("t0", "t1", "steps", "method", "block_walkers",
-                     "interpret"),
+                     "interpret", "io_tiles"),
 )
 def reinforce_flow_grad_pallas(
     params: dict,
@@ -326,6 +349,7 @@ def reinforce_flow_grad_pallas(
     method: str = "dopri5",
     block_walkers: int | None = None,
     interpret: bool = False,
+    io_tiles: bool = False,
 ):
     """grad_theta sum_i w_i log p_theta(x1_i), backflow field, float32/dim=2.
 
@@ -335,14 +359,25 @@ def reinforce_flow_grad_pallas(
       ghat: (B, n*dim) grad_x log p at x1 (forward Hessian-flow output).
       w: (B,) REINFORCE weights ((Eloc - Ebar)/B, stopped).
       t0, t1, steps, method: the flow's fixed integration grid.
+      io_tiles: x1 and ghat arrive as raw (d*8, B/8) sublane-major tiles
+        (the Hessian-flow kernel's ``io_tiles`` outputs); w stays (B,)
+        (its reshape to a tile is layout-preserving).  Requires the
+        full-sublane layout (SF == 8) and no padding; z_back is returned
+        as a raw tile block.
 
     Returns:
       (grads, z_back): grads pytree shaped like ``params``; z_back (B, n, dim)
       is the backward-reconstructed base point (diagnostic; ~z up to the
       grid's reversibility error).
     """
-    B, n, dim = x1.shape
-    d = n * dim
+    if io_tiles:
+        dim = 2
+        d = x1.shape[0] // 8
+        n = d // dim
+        B = x1.shape[1] * 8
+    else:
+        B, n, dim = x1.shape
+        d = n * dim
     stages = TABLEAUS[method].stages
     eta = params["eta"]
     mu = params.get("mu")
@@ -350,31 +385,32 @@ def reinforce_flow_grad_pallas(
     d_mu = mu["w1"].shape[1] if mu is not None else 0
     nq = 3 * d_eta + (3 * d_mu if mu is not None else 0)
 
-    # VMEM per walker: state+slopes for (x, a) ((2d)(stages+2)), theta rows
-    # (nq), pair scratch (~10 n^2).
-    bytes_per_walker = 4 * (2 * d * (stages + 2) + nq + 10 * n * n)
-    budget = 12 * 2**20
-    if block_walkers is None:
-        block_walkers = 128
-        for cand in (2048, 1024, 512, 256):
-            if cand * bytes_per_walker <= budget:
-                block_walkers = cand
-                break
-    BW = min(B, block_walkers)
-    SF = max(1, min(8, BW // 128))
-    Bpad = -(-B // BW) * BW
-    a1 = -w[:, None] * ghat  # (B, d); zero on padded walkers by construction
-    if Bpad != B:
-        x1 = jnp.pad(x1, ((0, Bpad - B), (0, 0), (0, 0)), mode="edge")
-        a1 = jnp.pad(a1, ((0, Bpad - B), (0, 0)))
-        w = jnp.pad(w, ((0, Bpad - B),))
+    BW, SF, Bpad = reinforce_layout(B, n, dim, d_eta, d_mu, stages,
+                                    block_walkers)
     h = (float(t0) - float(t1)) / steps  # backward
-
-    LP = Bpad // SF
-    tile = lambda arr: arr.reshape(arr.shape[0] * SF, LP)
-    x_cm = tile(x1.reshape(Bpad, d).T.astype(jnp.float32))
-    a_cm = tile(a1.T.astype(jnp.float32))
-    w_cm = tile(w.astype(jnp.float32)[None, :])
+    if io_tiles:
+        if SF != 8 or Bpad != B:
+            raise ValueError(
+                f"io_tiles requires the full-sublane layout (SF=8, no "
+                f"padding); got SF={SF}, B={B}, Bpad={Bpad}"
+            )
+        LP = Bpad // SF
+        x_cm = x1.astype(jnp.float32)
+        w_cm = w.astype(jnp.float32).reshape(SF, LP)
+        # a1 = -w * ghat, built tile-side: broadcast the w tile over the d
+        # coordinate row-groups (layout-preserving, no transpose).
+        a_cm = -jnp.tile(w_cm, (d, 1)) * ghat.astype(jnp.float32)
+    else:
+        a1 = -w[:, None] * ghat  # (B, d); zero on padded walkers
+        if Bpad != B:
+            x1 = jnp.pad(x1, ((0, Bpad - B), (0, 0), (0, 0)), mode="edge")
+            a1 = jnp.pad(a1, ((0, Bpad - B), (0, 0)))
+            w = jnp.pad(w, ((0, Bpad - B),))
+        LP = Bpad // SF
+        tile = lambda arr: arr.reshape(arr.shape[0] * SF, LP)
+        x_cm = tile(x1.reshape(Bpad, d).T.astype(jnp.float32))
+        a_cm = tile(a1.T.astype(jnp.float32))
+        w_cm = tile(w.astype(jnp.float32)[None, :])
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     weight_args = [
@@ -458,6 +494,8 @@ def reinforce_flow_grad_pallas(
         # Mirror the caller's pytree: the backflow params dict always
         # carries the "mu" key ("mu": None when the one-body net is off).
         grads["mu"] = None
+    if io_tiles:
+        return grads, z_t
     z_back = untile(z_t, d).T[:B].reshape(B, n, dim).astype(x1.dtype)
     return grads, z_back
 

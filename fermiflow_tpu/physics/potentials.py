@@ -42,6 +42,14 @@ class HOPotential:
     def V(self, x: jax.Array) -> jax.Array:
         return 0.5 * jnp.sum(x**2, axis=(-2, -1))
 
+    def V_rows(self, xd: jax.Array, n: int, dim: int) -> jax.Array:
+        """Row-major variant: xd (n*dim, B), rows = flattened coordinates.
+
+        Used by the tile-chained Pallas local-energy path (vmc/gs.py): the
+        kernel tile block reshapes to (d, B) without any transpose, so the
+        potential is the only XLA stage and must not force a relayout."""
+        return 0.5 * jnp.sum(xd * xd, axis=0)
+
     __call__ = V
 
 
@@ -55,5 +63,18 @@ class CoulombPairPotential:
         dij, mask = pairwise_distances(x)
         # 0.5 * sum over ordered pairs == sum over i<j.
         return 0.5 * self.Z * jnp.sum(mask / dij, axis=(-2, -1))
+
+    def V_rows(self, xd: jax.Array, n: int, dim: int) -> jax.Array:
+        """Row-major variant (see ``HOPotential.V_rows``): unrolled i<j pair
+        sum over coordinate rows — no (n, n) matrix, no diagonal masking."""
+        V = jnp.zeros(xd.shape[-1], xd.dtype)
+        for i in range(n):
+            for j in range(i + 1, n):
+                r2 = sum(
+                    (xd[i * dim + a] - xd[j * dim + a]) ** 2
+                    for a in range(dim)
+                )
+                V = V + self.Z / jnp.sqrt(r2)
+        return V
 
     __call__ = V
