@@ -65,7 +65,12 @@ from fermiflow_tpu.ops.pallas_metropolis import (
     _to_tiles,
 )
 
-__all__ = ["slater_vgh_pallas", "slater_vgh_pallas_sharded"]
+__all__ = [
+    "slater_vgh_pallas",
+    "slater_vgh_pallas_sharded",
+    "slater_vgh_ms_pallas",
+    "slater_vgh_ms_pallas_sharded",
+]
 
 
 def _psi1d(c, K):
@@ -169,31 +174,11 @@ def _gj_inverse(D, n):
     return A, logabs
 
 
-def _sector_vgh(xs, first, nxs, nys, dim, K):
-    """(logabs, g_rows, H_lookup) for one spin sector.
-
-    xs: full coordinate tile list; particles [first, first + m) belong to
-    the sector, occupying orbitals with 1D quantum numbers nxs/nys (static
-    tuples).  g_rows has 2m tiles; H_lookup(i, a, k, b) returns the packed
-    local Hessian entry (sector-local particle indices).
-    """
-    m = len(nxs)
-    tab = []
-    for i in range(m):
-        cx = xs[(first + i) * dim + 0]
-        cy = xs[(first + i) * dim + 1]
-        tab.append((_psi1d(cx, K), _psi1d(cy, K)))
-
-    D, D1x, D1y, D2xx, D2yy, D2xy = ([], [], [], [], [], [])
-    for i in range(m):
-        (px, dpx, d2px), (py, dpy, d2py) = tab[i]
-        D.append([px[nxs[j]] * py[nys[j]] for j in range(m)])
-        D1x.append([dpx[nxs[j]] * py[nys[j]] for j in range(m)])
-        D1y.append([px[nxs[j]] * dpy[nys[j]] for j in range(m)])
-        D2xx.append([d2px[nxs[j]] * py[nys[j]] for j in range(m)])
-        D2yy.append([px[nxs[j]] * d2py[nys[j]] for j in range(m)])
-        D2xy.append([dpx[nxs[j]] * dpy[nys[j]] for j in range(m)])
-
+def _vgh_from_factors(D, D1x, D1y, D2xx, D2yy, D2xy, m):
+    """(logabs, g_rows, H_lookup) from assembled factor matrices (each an
+    m x m list-of-tiles): the GJ inverse + determinant-calculus B/C
+    contractions shared by the static-occupation and per-walker-occupation
+    kernels."""
     A, logabs = _gj_inverse(D, m)
 
     # B[i,a,k] = sum_j D1[i,j,a] A[j,k]
@@ -225,6 +210,100 @@ def _sector_vgh(xs, first, nxs, nys, dim, K):
         return val
 
     return logabs, g_rows, H_entry
+
+
+def _sector_vgh(xs, first, nxs, nys, dim, K):
+    """(logabs, g_rows, H_lookup) for one spin sector.
+
+    xs: full coordinate tile list; particles [first, first + m) belong to
+    the sector, occupying orbitals with 1D quantum numbers nxs/nys (static
+    tuples).  g_rows has 2m tiles; H_lookup(i, a, k, b) returns the packed
+    local Hessian entry (sector-local particle indices).
+    """
+    m = len(nxs)
+    tab = []
+    for i in range(m):
+        cx = xs[(first + i) * dim + 0]
+        cy = xs[(first + i) * dim + 1]
+        tab.append((_psi1d(cx, K), _psi1d(cy, K)))
+
+    D, D1x, D1y, D2xx, D2yy, D2xy = ([], [], [], [], [], [])
+    for i in range(m):
+        (px, dpx, d2px), (py, dpy, d2py) = tab[i]
+        D.append([px[nxs[j]] * py[nys[j]] for j in range(m)])
+        D1x.append([dpx[nxs[j]] * py[nys[j]] for j in range(m)])
+        D1y.append([px[nxs[j]] * dpy[nys[j]] for j in range(m)])
+        D2xx.append([d2px[nxs[j]] * py[nys[j]] for j in range(m)])
+        D2yy.append([px[nxs[j]] * d2py[nys[j]] for j in range(m)])
+        D2xy.append([dpx[nxs[j]] * dpy[nys[j]] for j in range(m)])
+
+    return _vgh_from_factors(D, D1x, D1y, D2xx, D2yy, D2xy, m)
+
+
+def _multistate_vgh(xs, wxs, wys, n, dim, K):
+    """(logabs, g_rows, H_lookup) with PER-WALKER occupations.
+
+    wxs/wys: per-slot one-hot float masks over the Hermite orders (length-n
+    lists of K tiles, built once per launch from the walkers' quantum
+    numbers — the same mask-FMA table resolve as the mixed-state sampler
+    kernel's ``_slater_logp_multistate``).  Every orbital factor resolves
+    as a K-term mask-weighted sum; the determinant calculus downstream is
+    shared with the static kernel.
+    """
+    tab = [(_psi1d(xs[i * dim + 0], K), _psi1d(xs[i * dim + 1], K))
+           for i in range(n)]
+
+    def sel(vals, masks):
+        out = masks[0] * vals[0]
+        for k in range(1, K):
+            out = out + masks[k] * vals[k]
+        return out
+
+    D, D1x, D1y, D2xx, D2yy, D2xy = ([], [], [], [], [], [])
+    for i in range(n):
+        (px, dpx, d2px), (py, dpy, d2py) = tab[i]
+        rowD, r1x, r1y, r2x, r2y, rxy = ([], [], [], [], [], [])
+        for j in range(n):
+            vx, vy = sel(px, wxs[j]), sel(py, wys[j])
+            dvx, dvy = sel(dpx, wxs[j]), sel(dpy, wys[j])
+            d2vx, d2vy = sel(d2px, wxs[j]), sel(d2py, wys[j])
+            rowD.append(vx * vy)
+            r1x.append(dvx * vy)
+            r1y.append(vx * dvy)
+            r2x.append(d2vx * vy)
+            r2y.append(vx * d2vy)
+            rxy.append(dvx * dvy)
+        D.append(rowD)
+        D1x.append(r1x)
+        D1y.append(r1y)
+        D2xx.append(r2x)
+        D2yy.append(r2y)
+        D2xy.append(rxy)
+
+    return _vgh_from_factors(D, D1x, D1y, D2xx, D2yy, D2xy, n)
+
+
+def _slater_vgh_ms_kernel(
+    x_ref, nx_ref, ny_ref, out_y_ref, out_g_ref, out_h_ref,
+    *, n, dim, num_shells,
+):
+    from fermiflow_tpu.ops.pallas_metropolis import _one_hot_masks
+
+    d = n * dim
+    xs = tuple(_rows(x_ref[:], d))
+    wxs = _one_hot_masks(_rows(nx_ref[:], n), num_shells)
+    wys = _one_hot_masks(_rows(ny_ref[:], n), num_shells)
+    y, g_rows, H = _multistate_vgh(xs, wxs, wys, n, dim, num_shells)
+    out_y_ref[:] = 2.0 * y
+    for r in range(d):
+        out_g_ref[_SUB * r : _SUB * (r + 1)] = 2.0 * g_rows[r]
+    row = 0
+    for p in range(d):
+        i, a = divmod(p, dim)
+        for q in range(p, d):
+            k, b = divmod(q, dim)
+            out_h_ref[_SUB * row : _SUB * (row + 1)] = 2.0 * H(i, a, k, b)
+            row += 1
 
 
 def _slater_vgh_kernel(
@@ -381,6 +460,138 @@ def slater_vgh_pallas(
     H = H.at[:, iu[0], iu[1]].set(Hp)
     H = H.at[:, iu[1], iu[0]].set(Hp)
     return y, g, H
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_shells", "interpret", "block_walkers", "packed",
+                     "tiles_in", "tiles_out"),
+)
+def slater_vgh_ms_pallas(
+    x: jax.Array,
+    nx: jax.Array,
+    ny: jax.Array,
+    num_shells: int = 8,
+    interpret: bool = False,
+    block_walkers: int | None = None,
+    packed: bool = False,
+    tiles_in: bool = False,
+    tiles_out: bool = False,
+):
+    """Mixed-state (y, g, H): per-walker orbital occupations, fused on-chip.
+
+    The finite-temperature analog of ``slater_vgh_pallas`` — drop-in for
+    ``FreeFermion.log_prob_vgh_multstates`` (one spin sector, the
+    reference's finite-T model is spin-polarized, ``src/orbitals.py:47-49``).
+
+    Args:
+      x: (B, n, dim), dim == 2 (or the (d*8, B/8) tile block with
+        ``tiles_in``; nx/ny are then (n*8, B/8) int32 tiles).
+      nx, ny: (B, n) int32 — each walker's occupied orbitals' 1D quantum
+        numbers (gathered from the state table outside, exactly as the
+        mixed-state sampler kernel takes them).
+      num_shells: Hermite orders covering the state table; one extra order
+        is evaluated for the ladder derivatives.
+    """
+    if tiles_in:
+        n = nx.shape[0] // _SUB
+        dim = 2
+        d = n * dim
+        B = x.shape[1] * _SUB
+        if x.shape[0] != d * _SUB:
+            raise ValueError(
+                f"tiles_in expects x ({d * _SUB}, B/8), got {x.shape}"
+            )
+    else:
+        B, n, dim = x.shape
+        if dim != 2:
+            raise ValueError("slater_vgh_ms_pallas supports dim == 2 only")
+        if nx.shape != (B, n) or ny.shape != (B, n):
+            raise ValueError("nx/ny must be (B, n) per-walker quantum numbers")
+        d = n * dim
+    nut = d * (d + 1) // 2
+    if block_walkers:
+        BW, Bp = block_walkers, B
+        if B % BW or (BW != B and (BW // _SUB) % 128):
+            raise ValueError(
+                f"bad walker block {BW} for batch {B}: must divide B and "
+                f"give lane blocks divisible by 128 (BW % 1024 == 0) unless "
+                f"BW == B"
+            )
+    else:
+        BW, Bp = _choose_block(B, cap=1024)
+    if tiles_in:
+        if Bp != B:
+            raise ValueError(
+                f"tiles_in requires an unpadded block partition of B={B}"
+            )
+        x_cm = x.astype(jnp.float32)
+        nx_cm = nx
+        ny_cm = ny
+    else:
+        if Bp != B:
+            x = jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0)), mode="edge")
+            nx = jnp.pad(nx, ((0, Bp - B), (0, 0)), mode="edge")
+            ny = jnp.pad(ny, ((0, Bp - B), (0, 0)), mode="edge")
+        x_cm = _to_tiles(x.reshape(Bp, d).T.astype(jnp.float32), d, Bp)
+        nx_cm = _to_tiles(nx.T.astype(jnp.int32), n, Bp)
+        ny_cm = _to_tiles(ny.T.astype(jnp.int32), n, Bp)
+
+    kernel = functools.partial(
+        _slater_vgh_ms_kernel, n=n, dim=dim, num_shells=num_shells,
+    )
+    LW = BW // _SUB
+    row_block = lambda rows: pl.BlockSpec(
+        (rows * _SUB, LW), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    y_t, g_t, h_t = pl.pallas_call(
+        kernel,
+        grid=(Bp // BW,),
+        out_shape=(
+            jax.ShapeDtypeStruct((_SUB, Bp // _SUB), jnp.float32),
+            jax.ShapeDtypeStruct((d * _SUB, Bp // _SUB), jnp.float32),
+            jax.ShapeDtypeStruct((nut * _SUB, Bp // _SUB), jnp.float32),
+        ),
+        in_specs=[row_block(d), row_block(n), row_block(n)],
+        out_specs=(row_block(1), row_block(d), row_block(nut)),
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )(x_cm, nx_cm, ny_cm)
+
+    if tiles_out:
+        return y_t, g_t, h_t
+
+    y = y_t.reshape(1, Bp)[0, :B]
+    g = g_t.reshape(d, Bp).T[:B]
+    Hp = h_t.reshape(nut, Bp).T[:B]
+    if packed:
+        return y, g, Hp
+    iu = np.triu_indices(d)
+    H = jnp.zeros((B, d, d), jnp.float32)
+    H = H.at[:, iu[0], iu[1]].set(Hp)
+    H = H.at[:, iu[1], iu[0]].set(Hp)
+    return y, g, H
+
+
+def slater_vgh_ms_pallas_sharded(
+    mesh, x, nx, ny, num_shells=8, interpret=False, packed=False,
+):
+    """shard_map wrapper: per-shard mixed-state VGH over the walker mesh."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    w = P(axis)
+
+    def local(x_l, nx_l, ny_l):
+        return slater_vgh_ms_pallas(
+            x_l, nx_l, ny_l, num_shells, interpret=interpret, packed=packed,
+        )
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(w, w, w),
+        out_specs=(w, w, w),
+        check_vma=False,
+    )(x, nx, ny)
 
 
 def slater_vgh_pallas_sharded(

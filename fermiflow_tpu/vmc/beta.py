@@ -138,6 +138,34 @@ class BetaVMC:
         from fermiflow_tpu.vmc.hessian_flow import local_energy_flow
 
         occ_table = jnp.asarray(self.occ_table)
+        if backend == "pallas":
+            # Fused mixed-state Slater-VGH kernel (ops/pallas_slater_vgh):
+            # the XLA one-hot-einsum closed form puts the n-wide Slater
+            # axis on the 128-wide vector lanes — same layout problem (and
+            # fix) as the ground-state base VGH.
+            from fermiflow_tpu.ops.pallas_slater_vgh import (
+                slater_vgh_ms_pallas,
+                slater_vgh_ms_pallas_sharded,
+            )
+
+            nx_tab, ny_tab, ks = self._qnum_tables()
+
+            def base_vgh(z_, idx):
+                occ = jnp.take(occ_table, idx, axis=0)
+                nx = jnp.take(nx_tab, occ)
+                ny = jnp.take(ny_tab, occ)
+                if mesh is not None:
+                    return slater_vgh_ms_pallas_sharded(
+                        mesh, z_, nx, ny, ks, interpret=pallas_interpret,
+                    )
+                return slater_vgh_ms_pallas(
+                    z_, nx, ny, ks, interpret=pallas_interpret,
+                )
+        else:
+            base_vgh = lambda z_, idx: self.basedist.log_prob_vgh_multstates(
+                occ_table, idx, z_
+            )
+
         return local_energy_flow(
             self.cnf.field_tensors,
             lambda zs, idx: self.basedist.log_prob_multstates(
@@ -155,10 +183,19 @@ class BetaVMC:
             pallas_interpret=pallas_interpret,
             mesh=mesh,
             return_grad=return_grad,
-            base_vgh=lambda z_, idx: self.basedist.log_prob_vgh_multstates(
-                occ_table, idx, z_
-            ),
+            base_vgh=base_vgh,
         )
+
+    def _qnum_tables(self):
+        """(nx_tab, ny_tab, kshells): orbital quantum-number tables and the
+        static Hermite depth covering the truncated state space."""
+        import numpy as _np
+
+        orb = self.basedist.orbitals
+        occ_np = _np.asarray(self.occ_table)
+        ks = int(max(_np.max(_np.asarray(orb.nx)[occ_np]),
+                     _np.max(_np.asarray(orb.ny)[occ_np]))) + 1
+        return jnp.asarray(orb.nx), jnp.asarray(orb.ny), ks
 
     def loss_and_metrics_from_base(self, params, state_idx: jax.Array,
                                    z: jax.Array, backend: str = "xla",
@@ -190,6 +227,14 @@ class BetaVMC:
             reinforce_flow_grad_pallas,
             reinforce_flow_grad_pallas_sharded,
         )
+        from fermiflow_tpu.vmc.gs import tile_chain_available
+
+        if mesh is None and tile_chain_available(
+            self, z.shape[0], params["flow"]
+        ):
+            return self._loss_metrics_grads_tiles(
+                params, state_idx, z, pallas_interpret
+            )
 
         flow_sg = jax.lax.stop_gradient(params["flow"])
         x, eloc, logp, g = self.local_energy_from_base(
@@ -198,30 +243,9 @@ class BetaVMC:
         )
         x, eloc, logp, g = jax.lax.stop_gradient((x, eloc, logp, g))
 
-        logits = params["log_state_weights"]
-        logp_states_all = jax.nn.log_softmax(logits)
-        logp_states_sg = jax.lax.stop_gradient(logp_states_all)[state_idx]
-        floc = eloc + logp_states_sg / self.beta
-        E, E_std = jnp.mean(eloc), jnp.std(eloc)
-        F, F_std = jnp.mean(floc), jnp.std(floc)
-        S = -jnp.mean(logp_states_sg)
-        S_analytical = -jnp.sum(
-            jax.lax.stop_gradient(logp_states_all * jnp.exp(logp_states_all))
+        w, loss_phi, grad_logits, metrics = self._phi_loss_and_weights(
+            params, state_idx, eloc
         )
-
-        # phi loss: logits only — value_and_grad is a few flops.
-        def phi_loss(lg):
-            lps = jax.nn.log_softmax(lg)[state_idx]
-            return jnp.mean(lps * (floc - F))
-
-        loss_phi, grad_logits = jax.value_and_grad(phi_loss)(logits)
-
-        # theta loss gradient via the fused adjoint kernel.
-        ones = jnp.ones_like(eloc)
-        counts = jax.ops.segment_sum(ones, state_idx, num_segments=self.Nstates)
-        sums = jax.ops.segment_sum(eloc, state_idx, num_segments=self.Nstates)
-        eloc_baseline = (sums / jnp.maximum(counts, 1.0))[state_idx]
-        w = (eloc - eloc_baseline) / eloc.shape[0]
         if mesh is not None:
             grads_flow, _ = reinforce_flow_grad_pallas_sharded(
                 mesh, params["flow"], x, g, w, self.cnf.t0, self.cnf.t1,
@@ -235,10 +259,100 @@ class BetaVMC:
                 interpret=pallas_interpret,
             )
         loss = loss_phi + jnp.sum(w * logp)
+        return loss, metrics, {"flow": grads_flow,
+                               "log_state_weights": grad_logits}
+
+    def _phi_loss_and_weights(self, params, state_idx, eloc):
+        """(w, loss_phi, grad_logits, metrics) — the layout-neutral half of
+        the fused update: free-energy observables, the phi REINFORCE loss on
+        the occupation logits (a few-flop value_and_grad), and the
+        per-state-baselined theta weights (segment-sum replacing the
+        reference's host Counter loop, ``src/VMC.py:164-169``)."""
+        logits = params["log_state_weights"]
+        logp_states_all = jax.nn.log_softmax(logits)
+        logp_states_sg = jax.lax.stop_gradient(logp_states_all)[state_idx]
+        floc = eloc + logp_states_sg / self.beta
+        E, E_std = jnp.mean(eloc), jnp.std(eloc)
+        F, F_std = jnp.mean(floc), jnp.std(floc)
+        S = -jnp.mean(logp_states_sg)
+        S_analytical = -jnp.sum(
+            jax.lax.stop_gradient(logp_states_all * jnp.exp(logp_states_all))
+        )
+
+        def phi_loss(lg):
+            lps = jax.nn.log_softmax(lg)[state_idx]
+            return jnp.mean(lps * (floc - F))
+
+        loss_phi, grad_logits = jax.value_and_grad(phi_loss)(logits)
+
+        ones = jnp.ones_like(eloc)
+        counts = jax.ops.segment_sum(ones, state_idx, num_segments=self.Nstates)
+        sums = jax.ops.segment_sum(eloc, state_idx, num_segments=self.Nstates)
+        eloc_baseline = (sums / jnp.maximum(counts, 1.0))[state_idx]
+        w = (eloc - eloc_baseline) / eloc.shape[0]
         metrics = {
             "E": E, "E_std": E_std, "F": F, "F_std": F_std,
             "S": S, "S_analytical": S_analytical,
         }
+        return w, loss_phi, grad_logits, metrics
+
+    def _loss_metrics_grads_tiles(self, params, state_idx, z: jax.Array,
+                                  pallas_interpret: bool = False):
+        """Zero-relayout tile-chained finite-T update (see
+        ``GSVMC._loss_metrics_grads_tiles``): mixed-state VGH -> Hessian
+        flow -> REINFORCE adjoint exchange raw (rows*8, B/8) tiles; the
+        only layout transitions are the z and per-walker quantum-number
+        relayouts on entry."""
+        from fermiflow_tpu.ops.pallas_hessian_flow import hessian_flow_pallas
+        from fermiflow_tpu.ops.pallas_metropolis import _to_tiles
+        from fermiflow_tpu.ops.pallas_reinforce import (
+            reinforce_flow_grad_pallas,
+        )
+        from fermiflow_tpu.ops.pallas_slater_vgh import slater_vgh_ms_pallas
+
+        B, n, dim = z.shape
+        d = n * dim
+        nut = d * (d + 1) // 2
+        flow = jax.lax.stop_gradient(params["flow"])
+        z = jax.lax.stop_gradient(z)
+        nx_tab, ny_tab, ks = self._qnum_tables()
+        occ = jnp.take(jnp.asarray(self.occ_table), state_idx, axis=0)
+        nx = jnp.take(nx_tab, occ)
+        ny = jnp.take(ny_tab, occ)
+
+        z_cm = _to_tiles(z.reshape(B, d).T.astype(jnp.float32), d, B)
+        nx_cm = _to_tiles(nx.T.astype(jnp.int32), n, B)
+        ny_cm = _to_tiles(ny.T.astype(jnp.int32), n, B)
+        y_t, g0_t, H0_t = slater_vgh_ms_pallas(
+            z_cm, nx_cm, ny_cm, ks, interpret=pallas_interpret,
+            tiles_in=True, tiles_out=True,
+        )
+        x_t, logp_t, g_t, Hp_t = hessian_flow_pallas(
+            flow, z_cm, y_t, g0_t, H0_t, self.cnf.t0, self.cnf.t1,
+            steps=self.cnf.steps, method=self.cnf.method,
+            interpret=pallas_interpret, io_tiles=True,
+        )
+
+        gd = g_t.reshape(d, B)
+        xd = x_t.reshape(d, B)
+        Hd = Hp_t.reshape(nut, B)
+        lap = sum(Hd[p * d - p * (p - 1) // 2] for p in range(d))
+        g2 = jnp.sum(gd * gd, axis=0)
+        V = self.pair_potential.V_rows(xd, n, dim)
+        if self.sp_potential is not None:
+            V = V + self.sp_potential.V_rows(xd, n, dim)
+        eloc = -0.25 * lap - 0.125 * g2 + V
+        logp = logp_t.reshape(B)
+
+        w, loss_phi, grad_logits, metrics = self._phi_loss_and_weights(
+            params, state_idx, eloc
+        )
+        grads_flow, _ = reinforce_flow_grad_pallas(
+            flow, x_t, g_t, w, self.cnf.t0, self.cnf.t1,
+            steps=self.cnf.steps, method=self.cnf.method,
+            interpret=pallas_interpret, io_tiles=True,
+        )
+        loss = loss_phi + jnp.sum(w * logp)
         return loss, metrics, {"flow": grads_flow,
                                "log_state_weights": grad_logits}
 

@@ -28,7 +28,45 @@ from fermiflow_tpu.flow.cnf import CNF
 from fermiflow_tpu.physics.base_dist import FreeFermion
 from fermiflow_tpu.vmc.local_energy import y_grad_laplacian
 
-__all__ = ["GSVMC"]
+__all__ = ["GSVMC", "tile_chain_available"]
+
+
+def tile_chain_available(model, B: int, flow_params) -> bool:
+    """Whether the zero-relayout tile-chained kernel path is available.
+
+    Requires every kernel in the chain to pick the full-sublane (8, B/8)
+    layout with no batch padding, and row-major potential support
+    (``V_rows``).  ``model`` is a GSVMC or BetaVMC (both carry cnf,
+    basedist and the two potentials); ``flow_params`` the backflow pytree.
+    """
+    from fermiflow_tpu.ode.integrators import TABLEAUS
+    from fermiflow_tpu.ops.pallas_hessian_flow import SF_FULL, hflow_layout
+    from fermiflow_tpu.ops.pallas_metropolis import _choose_block
+    from fermiflow_tpu.ops.pallas_reinforce import reinforce_layout
+
+    if B % SF_FULL:
+        return False
+    if not hasattr(model.pair_potential, "V_rows"):
+        return False
+    if model.sp_potential is not None and not hasattr(
+        model.sp_potential, "V_rows"
+    ):
+        return False
+    n, dim = model.n, model.basedist.dim
+    if dim != 2:
+        return False
+    stages = TABLEAUS[model.cnf.method].stages
+    d_eta = flow_params["eta"]["w1"].shape[1]
+    mu = flow_params.get("mu")
+    d_mu = mu["w1"].shape[1] if mu is not None else 0
+    _, sf_h, bp_h = hflow_layout(B, n, dim, stages)
+    _, sf_r, bp_r = reinforce_layout(B, n, dim, d_eta, d_mu, stages)
+    _, bp_v = _choose_block(B, cap=1024)
+    return (
+        sf_h == SF_FULL and bp_h == B
+        and sf_r == SF_FULL and bp_r == B
+        and bp_v == B
+    )
 
 
 class GSVMC:
@@ -270,43 +308,7 @@ class GSVMC:
         return nx_up, ny_up, nx_dn, ny_dn, ks
 
     def _tile_chain_ok(self, B: int, params) -> bool:
-        """Whether the zero-relayout tile-chained kernel path is available.
-
-        Requires every kernel in the chain to pick the full-sublane
-        (8, B/8) layout with no batch padding, and row-major potential
-        support (``V_rows``).
-        """
-        from fermiflow_tpu.ops.pallas_hessian_flow import (
-            SF_FULL,
-            hflow_layout,
-        )
-        from fermiflow_tpu.ops.pallas_metropolis import _choose_block
-        from fermiflow_tpu.ops.pallas_reinforce import reinforce_layout
-        from fermiflow_tpu.ode.integrators import TABLEAUS
-
-        if B % SF_FULL:
-            return False
-        if not hasattr(self.pair_potential, "V_rows"):
-            return False
-        if self.sp_potential is not None and not hasattr(
-            self.sp_potential, "V_rows"
-        ):
-            return False
-        n, dim = self.n, self.basedist.dim
-        if dim != 2:
-            return False
-        stages = TABLEAUS[self.cnf.method].stages
-        d_eta = params["eta"]["w1"].shape[1]
-        mu = params.get("mu")
-        d_mu = mu["w1"].shape[1] if mu is not None else 0
-        _, sf_h, bp_h = hflow_layout(B, n, dim, stages)
-        _, sf_r, bp_r = reinforce_layout(B, n, dim, d_eta, d_mu, stages)
-        _, bp_v = _choose_block(B, cap=1024)
-        return (
-            sf_h == SF_FULL and bp_h == B
-            and sf_r == SF_FULL and bp_r == B
-            and bp_v == B
-        )
+        return tile_chain_available(self, B, params)
 
     def _loss_metrics_grads_tiles(self, params, z: jax.Array,
                                   pallas_interpret: bool = False):

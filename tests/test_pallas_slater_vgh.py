@@ -114,6 +114,35 @@ def test_vgh_awkward_batch_padding_interpret():
     _check(nup=3, ndown=0, B=37, interpret=True)
 
 
+def test_vgh_multistate_interpret():
+    """Per-walker-occupation kernel vs the XLA one-hot closed form."""
+    from fermiflow_tpu.ops.pallas_slater_vgh import slater_vgh_ms_pallas
+
+    orb = HO2D()
+    bd = FreeFermion(orb)
+    occ_table, _ = orb.fermion_states(3, 0, 2.0)  # 21 states
+    occ_table = np.asarray(occ_table)
+    ks = int(max(np.max(orb.nx[occ_table]), np.max(orb.ny[occ_table]))) + 1
+    B = 64
+    idx = jax.random.randint(jax.random.PRNGKey(5), (B,), 0,
+                             occ_table.shape[0])
+    occ = jnp.take(jnp.asarray(occ_table), idx, axis=0)
+    nx = jnp.take(jnp.asarray(orb.nx), occ).astype(jnp.int32)
+    ny = jnp.take(jnp.asarray(orb.ny), occ).astype(jnp.int32)
+    x = jax.random.normal(jax.random.PRNGKey(6), (B, 3, 2), jnp.float32)
+
+    y, g, H = slater_vgh_ms_pallas(x, nx, ny, ks, interpret=True)
+    y_ref, g_ref, H_ref = bd.log_prob_vgh_multstates(
+        jnp.asarray(occ_table), idx, x.astype(jnp.float64)
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=3e-3, atol=3e-3)
+    np.testing.assert_allclose(np.asarray(H), np.asarray(H_ref),
+                               rtol=5e-3, atol=5e-3)
+
+
 def test_tile_chained_path_matches_standard():
     """The zero-relayout tile chain (VGH -> Hessian-flow -> REINFORCE with
     raw tile handoffs + row-major observables) must agree with the
@@ -159,6 +188,69 @@ def test_tile_chained_path_matches_standard():
         params, z, pallas_interpret=True
     )
     np.testing.assert_allclose(float(m_t["E"]), float(m_s["E"]), rtol=1e-5)
+    np.testing.assert_allclose(float(loss_t), float(loss_s),
+                               rtol=1e-4, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_t),
+                    jax.tree_util.tree_leaves(g_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_beta_tile_chained_path_matches_standard():
+    """Finite-T tile chain (mixed-state VGH -> hflow -> REINFORCE with raw
+    tile handoffs) vs the standard-layout fused path — same kernels,
+    different boundary plumbing."""
+    from fermiflow_tpu.flow.cnf import CNF
+    from fermiflow_tpu.nn import (
+        backflow_apply,
+        backflow_divergence,
+        backflow_init_gaussian,
+    )
+    from fermiflow_tpu.nn.backflow_derivs import backflow_field_tensors
+    from fermiflow_tpu.physics.potentials import (
+        CoulombPairPotential,
+        HOPotential,
+    )
+    from fermiflow_tpu.vmc.beta import BetaVMC
+    from fermiflow_tpu.vmc.gs import tile_chain_available
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(9), 3)
+    orb = HO2D()
+    bd = FreeFermion(orb)
+    cnf = CNF(
+        velocity=backflow_apply,
+        divergence=backflow_divergence,
+        field_tensors=backflow_field_tensors,
+        steps=2,
+    )
+    model = BetaVMC(2.0, 3, 0, 2.0, orb, bd, cnf,
+                    CoulombPairPotential(0.5), HOPotential())
+    flow = jax.tree.map(
+        lambda a: a.astype(jnp.float32),
+        backflow_init_gaussian(k1, 8, 8, std=0.2),
+    )
+    logits = (0.3 * jax.random.normal(k2, (model.Nstates,))).astype(
+        jnp.float32)
+    params = {"flow": flow, "log_state_weights": logits}
+    B = 1024
+    z = jax.random.normal(k3, (B, 3, 2), jnp.float32)
+    state_idx = jax.random.randint(k3, (B,), 0, model.Nstates)
+    assert tile_chain_available(model, B, flow)
+
+    loss_t, m_t, g_t = model.loss_metrics_grads_pallas(
+        params, state_idx, z, pallas_interpret=True
+    )
+    # Force the standard path (the gate is imported at call time).
+    from unittest import mock
+
+    with mock.patch("fermiflow_tpu.vmc.gs.tile_chain_available",
+                    return_value=False):
+        loss_s, m_s, g_s = model.loss_metrics_grads_pallas(
+            params, state_idx, z, pallas_interpret=True
+        )
+    for key in ("E", "F", "S", "S_analytical"):
+        np.testing.assert_allclose(float(m_t[key]), float(m_s[key]),
+                                   rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(float(loss_t), float(loss_s),
                                rtol=1e-4, atol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g_t),
