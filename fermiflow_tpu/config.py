@@ -32,9 +32,15 @@ class Config:
 
     # ODE solver.  Default grid backed by the trained-params error study
     # (validation/ode_steps_study.py, docs/VALIDATION.md): at converged N=6
-    # parameters 8 dopri5 steps give |dE| ~ 5e-12 and gradient rel-err ~2e-10
-    # vs a 256-step grid — 9 orders below the batch-8192 MC error (4e-3).
-    ode_steps: int = 8
+    # parameters the 4-step dopri5 grid gives |dE| ~ 8e-10 and gradient
+    # rel-err 1.6e-8 vs a 256-step grid — five orders below the batch-8192
+    # MC error and TIGHTER than the reference's own adaptive envelope
+    # (rtol 1e-6, src/NeuralODE/nnModule.py:161-162).  The round-5 flagship
+    # retrain at ode_steps=4 (validation/runs/gs_n6_z05_r5_ode4*.jsonl)
+    # converges to E = 18.1606(5), identical to the ode_steps=8 flagship
+    # (18.1602(1)), at ~20% less step time; 8 remains available via
+    # --ode-steps for extra margin.
+    ode_steps: int = 4
     ode_method: str = "dopri5"
     ode_solver: str = "fixed"  # generate path: fixed | adaptive | adjoint
     rtol: float = 1e-6
