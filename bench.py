@@ -639,10 +639,11 @@ def main():
         k10 = int(max(nx10 + ny10)) + 1
         x10 = jax.random.normal(jax.random.PRNGKey(2), (B10, N10, 2),
                                 dtype=dtype)
-        # 50 chains amortize the ~30 ms dispatch below 2% while keeping the
-        # row ~60 s instead of ~230 (the n10 sampler is the slowest timed
-        # loop in the bench; budget belongs to coverage, not extra reps).
-        R10 = 50
+        # 200 chains: the n10 in-program chain is only ~0.6 ms/chain, so
+        # the ~30 ms program dispatch needs this many reps to amortize
+        # below ~3% (a 50-rep variant measured 427M vs the true ~716M wps
+        # — dispatch was 60% of the timed call).
+        R10 = 200
 
         @jax.jit
         def run_mcmc10(key, x0):
