@@ -512,12 +512,12 @@ def main():
 
     # Finite-T production row (VERDICT r4 #4): persistent coupled-refresh
     # chains, 30 steps/iter, steps-per-call 10 — the exact program the
-    # finite-T CLI ships (cli/common.py:288-291 -> make_multi_step), at the
-    # r4 crossover-sweep config so the compile-cache entry is shared.
+    # finite-T CLI ships (cli/common.py:288-291 -> make_multi_step) at its
+    # DEFAULT config (ode_steps=4 since round 5, flagship-confirmed).
     def beta_production_row():
         pbcfg = Config(
             nup=NUP, Z=0.5, beta=2.0, deltaE=2.0, boltzmann=True,
-            batch=BATCH, ode_steps=8, mcmc_steps=30,
+            batch=BATCH, ode_steps=4, mcmc_steps=30,
             persistent_walkers=True, laplacian_chunk=512, lr=3e-3,
             steps_per_call=PREPS, pallas_sampler=on_tpu,
             pallas_local_energy=on_tpu,
@@ -535,6 +535,7 @@ def main():
         _fetch(m["F"])
         FIELDS["beta_step_production_seconds"] = round(
             (time.perf_counter() - t0) / PREPS, 4)
+        FIELDS["beta_production_ode_steps"] = pbcfg.ode_steps
         FIELDS["beta_production_F"] = float(_fetch(m["F"])[-1])
 
     if on_tpu:
