@@ -282,10 +282,13 @@ def main():
     dt_total, (x, acc) = _time_reps(make_epochs(REPS), key, x0)
     first_compile_s = time.monotonic() - tc0 - dt_total
     # A cold cache announces itself on the very first program: with warm
-    # cache this compile+warm is a few seconds; cold it is minutes.  When
+    # cache this compile+warm is seconds to ~1 min (a warm FETCH through the
+    # remote helper measured 59 s on a quiet host right after a reboot, so
+    # the threshold needs headroom above that); cold it is minutes.  When
     # cold, skip every expensive optional row — the budget belongs to the
-    # continuity rows.
-    cold_cache = first_compile_s > 90.0
+    # continuity rows.  A false-warm is the cheaper error: the optional rows
+    # then eat budget compiling, and the watchdog still emits the JSON.
+    cold_cache = first_compile_s > 150.0
     FIELDS["first_compile_s"] = round(first_compile_s, 1)
     if cold_cache:
         FIELDS["cold_cache"] = True
